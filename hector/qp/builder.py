@@ -1,0 +1,80 @@
+"""Batched assembly of the condensed MPC QP.
+
+Rebuilds ``solve_mpc``'s matrix pipeline (SolverMPC.cpp:371-586) as pure
+array code with static shapes:
+
+  H = 2 (B~^T S B~ + Alpha_rep)        (SolverMPC.cpp:569)
+  g = 2 B~^T S (A_qp x0 - X_d)         (SolverMPC.cpp:570)
+
+where B~ is B_qp with swing-leg columns zeroed (the static-shape equivalent
+of the reference's variable elimination, SolverMPC.cpp:589-697) and the
+constraints are the per-step block F with gait-masked bounds
+(hector/constraints.py).  Everything here is one jittable function of the
+scenario state; vmap supplies the batch dimension.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..config import MPCConfig
+from ..math import euler_rate_matrix
+from ..srbd import ct_dynamics, condense
+from ..constraints import constraint_block, constraint_bounds, input_mask
+
+
+class QPData(NamedTuple):
+    """One condensed MPC QP (leading batch dims allowed on every field).
+
+    min 1/2 u^T H u + g^T u  s.t.  lb <= C_step u_step <= ub per step,
+    with C_step shared across the horizon (fmat is block-diagonal with a
+    single repeated block, SolverMPC.cpp:552-555).
+    """
+
+    h_mat: jnp.ndarray   # (..., 12h, 12h)
+    g_vec: jnp.ndarray   # (..., 12h)
+    c_block: jnp.ndarray  # (..., 16, 12)
+    lb: jnp.ndarray      # (..., h, 16)
+    ub: jnp.ndarray      # (..., h, 16)
+
+
+def build_qp(x0, traj, r_body, r_foot, r_feet, i_body, gait_table,
+             cfg: MPCConfig) -> QPData:
+    """Assemble the QP for one scenario.
+
+    x0: (13) initial state [rpy, p, omega_world, v, g];
+    traj: (h, 12) reference states; r_body: (3,3) body->world rotation;
+    r_foot: (2,3,3) foot rotations; r_feet: (2,3) foot-minus-CoM vectors;
+    i_body: (3,3) body inertia; gait_table: (h, 2) contact flags.
+    """
+    h = cfg.horizon
+    dtype = x0.dtype
+
+    i_world = r_body @ i_body @ jnp.swapaxes(r_body, -1, -2)
+    erate = euler_rate_matrix(x0[0:3])
+    a_ct, b_ct = ct_dynamics(i_world, jnp.asarray(cfg.mass, dtype), r_feet,
+                             erate)
+    a_qp, b_qp = condense(a_ct, b_ct, jnp.asarray(cfg.dt_mpc, dtype), h)
+
+    # swing-leg variable masking == reference's elimination
+    u_mask = input_mask(gait_table).reshape(12 * h)
+    b_masked = b_qp * u_mask[None, :]
+
+    weights13 = jnp.concatenate(
+        [jnp.asarray(cfg.weights, dtype), jnp.zeros((1,), dtype)])
+    s_diag = jnp.tile(weights13, h)                     # (13h,)
+    alpha_rep = jnp.tile(jnp.asarray(cfg.alpha, dtype), h)
+
+    bs = b_masked * s_diag[:, None]                     # S @ B~
+    h_mat = 2.0 * (b_masked.T @ bs + jnp.diag(alpha_rep))
+
+    x_d = jnp.concatenate(
+        [traj, jnp.zeros(traj.shape[:-1] + (1,), dtype)], axis=-1)
+    x_d = x_d.reshape(13 * h)
+    g_vec = 2.0 * (bs.T @ (a_qp @ x0 - x_d))
+
+    c_block = constraint_block(r_body, r_foot, cfg).astype(dtype)
+    lb, ub = constraint_bounds(gait_table.astype(dtype), cfg)
+    return QPData(h_mat, g_vec, c_block, lb, ub)
