@@ -1,0 +1,171 @@
+"""MPC locomotion orchestration: reference trajectory, foot kinematics,
+QP invocation, and force/moment extraction.
+
+TPU-native rebuild of ``ConvexMPC/ConvexMPCLocomotion.cpp`` as pure
+functions.  The reference interleaves per-tick planner state, an
+every-5th-tick QP solve, and ROS-side effects; here the planner is a carry +
+two pure functions (``planner_tick_update`` at 1 kHz, ``mpc_update`` at the
+MPC cadence) that vmap over scenarios.
+
+Quirks reproduced faithfully (documented because they are behavior, not
+accidents we may "fix" without breaking parity):
+
+- the solver's foot rotations use joint angles with the +0.3pi/-0.6pi/+0.3pi
+  knee-chain correction applied THREE times: once by
+  ``computeLegJacobianAndPosition`` mutating data[leg].q through a non-const
+  reference (LegController.cpp:111-113 on the vector passed at :51), once by
+  ``updateMPCIfNeeded`` whose joint_angles pointer aliases the corrected
+  local copy (ConvexMPCLocomotion.cpp:289-313), and once inside ``solve_mpc``
+  (SolverMPC.cpp:380-393);
+- trajInitial yaw target is 0.0 when yaw_rate == 0 (not the integrated
+  stateDes[5] -- that integrator is dead code, ConvexMPCLocomotion.cpp:351);
+- the x/y reference switches between drift-clamped integration and
+  current-position extrapolation on an exact float comparison
+  v_des_world == 0 (ConvexMPCLocomotion.cpp:380-391);
+- f_ff = [-rBody @ GRF; -rBody @ GRM] (body frame, reaction sign,
+  ConvexMPCLocomotion.cpp:419-440);
+- the MPC model mass is 9.0 and mu passed as 0.25 is ignored (mu=2.0 inside
+  the solver) -- see config.MPCConfig.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .config import HectorConfig, DEFAULT_CONFIG, JOINT_OFFSETS
+from . import gait as G
+from .kinematics import foot_rotation
+from .qp.builder import build_qp
+from .qp import pdip
+
+
+class PlannerState(NamedTuple):
+    """Per-scenario planner carry (ConvexMPCLocomotion member state)."""
+
+    world_position_desired: jnp.ndarray  # (3,)
+    f_ff: jnp.ndarray                    # (2, 6) latest stance wrench (body)
+
+
+def init_planner_state(position, dtype=jnp.float32) -> PlannerState:
+    wpd = position.astype(dtype)
+    return PlannerState(
+        world_position_desired=wpd,
+        f_ff=jnp.zeros((2, 6), dtype))
+
+
+def foot_positions_world(est, leg_data_p, cfg: HectorConfig):
+    """pFoot[i] = p + rBody^T (hipYaw_i + p_leg_i)
+    (ConvexMPCLocomotion.cpp:58-62)."""
+    dtype = leg_data_p.dtype
+    hip_yaw = jnp.asarray(
+        [cfg.robot.hip_yaw_location(0), cfg.robot.hip_yaw_location(1)], dtype)
+    return est.position[None, :] + (hip_yaw + leg_data_p) @ est.r_body
+
+
+def integrate_position_setpoint(state: PlannerState, est, v_des_robot, cfg):
+    """Every-tick world_position_desired integration
+    (ConvexMPCLocomotion.cpp:47-55)."""
+    v_des_world = jnp.swapaxes(est.r_body, -1, -2) @ v_des_robot
+    wpd = state.world_position_desired
+    wpd = wpd.at[0].add(cfg.mpc.dt * v_des_world[0])
+    wpd = wpd.at[1].add(cfg.mpc.dt * v_des_world[1])
+    wpd = wpd.at[2].set(cfg.mpc.body_height)
+    return state._replace(world_position_desired=wpd), v_des_world
+
+
+def build_reference_trajectory(est, v_des_world, yaw_rate, roll_des,
+                               pitch_des, wpd_xy, cfg: HectorConfig):
+    """(h, 12) reference rollout (ConvexMPCLocomotion.cpp:351-406).
+
+    wpd_xy: drift-clamped desired xy (already clamped by caller).
+    State layout per row: [roll, pitch, yaw, x, y, z, wx, wy, wz, vx, vy, vz].
+    """
+    h = cfg.mpc.horizon
+    dtype = est.position.dtype
+    dt_mpc = jnp.asarray(cfg.mpc.dt_mpc, dtype)
+    yaw = est.rpy[2]
+
+    base = jnp.stack([
+        roll_des, pitch_des, jnp.zeros_like(yaw),
+        wpd_xy[0], wpd_xy[1], jnp.asarray(cfg.mpc.body_height, dtype),
+        jnp.zeros_like(yaw), jnp.zeros_like(yaw), yaw_rate,
+        v_des_world[0], v_des_world[1], jnp.zeros_like(yaw)])
+    traj = jnp.tile(base[None, :], (h, 1))
+
+    i = jnp.arange(h, dtype=dtype)[:, None]
+    # x/y: integrate from wpd when v_des == 0 else extrapolate from p
+    x_int = wpd_xy[0] + i[:, 0] * dt_mpc * v_des_world[0]
+    x_ext = est.position[0] + i[:, 0] * dt_mpc * v_des_world[0]
+    traj = traj.at[:, 3].set(jnp.where(v_des_world[0] == 0, x_int, x_ext))
+    y_int = wpd_xy[1] + i[:, 0] * dt_mpc * v_des_world[1]
+    y_ext = est.position[1] + i[:, 0] * dt_mpc * v_des_world[1]
+    traj = traj.at[:, 4].set(jnp.where(v_des_world[1] == 0, y_int, y_ext))
+    # yaw: 0 target unless commanded, then integrate from current yaw
+    yaw_row = jnp.where(yaw_rate == 0, jnp.zeros_like(i[:, 0]),
+                        yaw + i[:, 0] * dt_mpc * yaw_rate)
+    traj = traj.at[:, 2].set(yaw_row)
+    # row 0 = current state (ConvexMPCLocomotion.cpp:369-377)
+    traj = traj.at[0, 0:3].set(est.rpy)
+    traj = traj.at[0, 3:6].set(est.position)
+    return traj
+
+
+def mpc_update(state: PlannerState, est, leg_q, p_foot_w, v_des_robot,
+               yaw_rate, roll_des, pitch_des, gait_table,
+               cfg: HectorConfig = DEFAULT_CONFIG,
+               i_body=None):
+    """One 200 Hz MPC solve (updateMPCIfNeeded,
+    ConvexMPCLocomotion.cpp:274-441).  Pure: the caller gates it on
+    ``tick % 5 == 0`` (lax.cond or the rollout's loop structure).
+
+    leg_q: (2,5) the *offset-corrected* data.q (post-updateData mutation).
+    Returns (new PlannerState, per-leg world GRF/GRM (2,6) for the plant).
+    """
+    dtype = est.position.dtype
+    offsets = jnp.asarray(JOINT_OFFSETS, dtype)
+    if i_body is None:
+        i_body = jnp.diag(jnp.asarray(cfg.robot.inertia_body, dtype))
+
+    v_des_world = jnp.swapaxes(est.r_body, -1, -2) @ v_des_robot
+
+    # drift clamp on the desired xy (ConvexMPCLocomotion.cpp:335-346)
+    wpd = state.world_position_desired
+    p = est.position
+    wpd_xy = jnp.clip(wpd[:2], p[:2] - cfg.mpc.max_pos_error,
+                      p[:2] + cfg.mpc.max_pos_error)
+    wpd = wpd.at[:2].set(wpd_xy)
+
+    traj = build_reference_trajectory(
+        est, v_des_world, yaw_rate, roll_des, pitch_des, wpd_xy, cfg)
+
+    # r[i] = pFoot - p (ConvexMPCLocomotion.cpp:315-319)
+    r_feet = p_foot_w - p[None, :]
+
+    # x0 = [rpy, p, omega_world, v, g] (SolverMPC.cpp:420)
+    x0 = jnp.concatenate([
+        est.rpy, p, est.omega_world, est.v_world,
+        jnp.asarray([cfg.mpc.gravity], dtype)])
+
+    # triple-offset foot rotation quirk (see module docstring): leg_q is
+    # data.q = raw + 1x offsets; two more applications follow in the
+    # reference call chain.
+    r_foot = foot_rotation(leg_q + 2.0 * offsets)
+
+    r_body_world = jnp.swapaxes(est.r_body, -1, -2)  # body->world (rs.R)
+    qp = build_qp(x0, traj, r_body_world, r_foot, r_feet, i_body,
+                  gait_table, cfg.mpc)
+    sol = pdip.solve(qp, cfg.solver)
+
+    u0 = sol.u[:12]
+    grf = u0[0:6].reshape(2, 3)      # world-frame ground reaction forces
+    grm = u0[6:12].reshape(2, 3)     # world-frame reaction moments
+    # f_ff = [-rBody GRF; -rBody GRM] (ConvexMPCLocomotion.cpp:428-439)
+    f_ff = jnp.concatenate([
+        -(grf @ jnp.swapaxes(est.r_body, -1, -2)),
+        -(grm @ jnp.swapaxes(est.r_body, -1, -2))], axis=-1)
+
+    new_state = PlannerState(world_position_desired=wpd, f_ff=f_ff)
+    wrench_world = jnp.concatenate([grf, grm], axis=-1)
+    return new_state, wrench_world, sol

@@ -1,0 +1,187 @@
+"""Tier-1 batched plant: single-rigid-body dynamics + joint servos +
+schedule-driven contact.
+
+Replaces the Gazebo/ODE process (``unitree_ros/unitree_gazebo`` +
+``unitree_legged_control``, SURVEY.md §2.3) with a pure JAX step so plant and
+controller fuse into one jitted program -- the reference's process boundary
+(10 ROS topics each way at 1 kHz, CheatIO.cpp:84-117) disappears.
+
+Modeling tier (documented, deliberately matched to the MPC's own fidelity):
+
+- the floating base is a single rigid body with the URDF's lumped mass
+  13.856 kg and trunk+thigh inertia (Biped.h:10, RobotState.cpp:45) --
+  unlike the MPC model's 9.0 kg quirk, the plant uses the real mass;
+- stance feet are anchored at their touchdown point; the commanded
+  ground-reaction wrench (from the stance torque command, which encodes
+  -R^T f_ff) acts on the body.  Torque limits are enforced in joint space:
+  the commanded wrench is clipped by the factor that keeps
+  tau = J_fm^T f within +-33.5 Nm (joint_controller.cpp:208-224 clamps
+  per-joint; we use the tightest per-leg scaling, which is conservative);
+- swing legs are kinematic: joints track their PD targets through a
+  first-order servo with the URDF's 21 rad/s velocity limit;
+- contact follows the gait schedule (the MPC's own assumption); touchdown
+  re-anchors the foot at the current FK position with z = 0.
+
+The actuator law is the open reimplementation of the closed-source
+``computeTorque`` servo (unitree_joint_control_tool.h: tau =
+Kp (q_des - q) + Kd (dq_des - dq) + tau_ff, clamped to the URDF effort
+limit 33.5 Nm).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..config import HectorConfig, DEFAULT_CONFIG
+from .. import math as hm
+from ..kinematics import (foot_position, leg_jacobians, leg_ik,
+                          apply_joint_offsets)
+
+
+class PlantState(NamedTuple):
+    position: jnp.ndarray     # (3,) world CoM
+    quat: jnp.ndarray         # (4,) wxyz body->world
+    v_world: jnp.ndarray      # (3,)
+    omega_world: jnp.ndarray  # (3,)
+    q: jnp.ndarray            # (2, 5) raw motor angles
+    qd: jnp.ndarray           # (2, 5)
+    foot_anchor: jnp.ndarray  # (2, 3) world stance anchors
+    contact: jnp.ndarray      # (2,) bool, previous-tick contact
+
+
+def nominal_joint_angles(dtype=jnp.float32):
+    """Raw motor angles for the nominal knee-bent stance (the xacro spawn
+    configuration is near the offset-corrected zero pose)."""
+    return jnp.zeros((2, 5), dtype)
+
+
+def init_plant_state(cfg: HectorConfig = DEFAULT_CONFIG, height=None,
+                     dtype=jnp.float32) -> PlantState:
+    q = nominal_joint_angles(dtype)
+    p_leg = foot_position(q, cfg)
+    hip_yaw = jnp.asarray(
+        [cfg.robot.hip_yaw_location(0), cfg.robot.hip_yaw_location(1)], dtype)
+    if height is None:
+        # stand with feet exactly on the ground plane
+        height = -(hip_yaw[0, 2] + p_leg[0, 2])
+    position = jnp.asarray([0.0, 0.0, height], dtype)
+    anchors = position[None, :] + hip_yaw + p_leg
+    anchors = anchors.at[:, 2].set(0.0)
+    return PlantState(
+        position=position,
+        quat=jnp.asarray([1.0, 0, 0, 0], dtype),
+        v_world=jnp.zeros(3, dtype),
+        omega_world=jnp.zeros(3, dtype),
+        q=q, qd=jnp.zeros((2, 5), dtype),
+        foot_anchor=anchors,
+        contact=jnp.ones((2,), bool))
+
+
+def servo_torque(cmd, q, qd, cfg: HectorConfig):
+    """tau = clip(Kp (q*-q) + Kd (dq*-dq) + tau_ff, +-33.5)
+    (unitree joint servo law + URDF effort clamp)."""
+    tau = cmd.kp * (cmd.q_des - q) + cmd.kd * (cmd.qd_des - qd) + cmd.tau
+    return jnp.clip(tau, -cfg.plant.torque_limit, cfg.plant.torque_limit)
+
+
+def step(state: PlantState, cmd, wrench_world, contact_sched,
+         disturbance=None, cfg: HectorConfig = DEFAULT_CONFIG) -> PlantState:
+    """One 1 ms physics tick.
+
+    cmd: MotorCommand (leg-major (2,5) arrays); wrench_world: (2, 6) world
+    GRF+GRM commanded for stance legs (from the MPC solution); contact_sched:
+    (2,) gait-scheduled contact flags for this tick; disturbance: optional
+    (6,) world wrench on the trunk (external-push testing, the analog of
+    unitree_controller's external_force teleop).
+    """
+    dtype = state.position.dtype
+    pcfg = cfg.plant
+    dt = jnp.asarray(pcfg.dt, dtype)
+    mass = jnp.asarray(pcfg.mass, dtype)
+    g_vec = jnp.asarray([0.0, 0.0, -pcfg.gravity], dtype)
+
+    in_contact = contact_sched > 0
+
+    # --- joint servos ---
+    tau = servo_torque(cmd, state.q, state.qd, cfg)
+    # torque-feasibility scaling of the commanded stance wrench: find the
+    # per-leg factor s in (0, 1] with |J^T (s w)| <= tau_max
+    j_fm, _ = leg_jacobians(state.q, cfg)
+    r_body = jnp.swapaxes(hm.quat_to_rot(state.quat), -1, -2)
+    f_body = jnp.concatenate([
+        -(wrench_world[:, 0:3] @ r_body.T),
+        -(wrench_world[:, 3:6] @ r_body.T)], axis=-1)
+    tau_wrench = jnp.einsum('lji,lj->li', j_fm, f_body)
+    tau_peak = jnp.max(jnp.abs(tau_wrench), axis=-1)
+    scale = jnp.minimum(1.0, pcfg.torque_limit /
+                        jnp.maximum(tau_peak, 1e-6))
+    wrench_eff = wrench_world * (scale * in_contact)[:, None]
+
+    # --- base dynamics ---
+    grf = wrench_eff[:, 0:3]
+    grm = wrench_eff[:, 3:6]
+    force = jnp.sum(grf, axis=0)
+    r_arm = state.foot_anchor - state.position[None, :]
+    torque = jnp.sum(jnp.cross(r_arm, grf) + grm, axis=0)
+    if disturbance is not None:
+        force = force + disturbance[0:3]
+        torque = torque + disturbance[3:6]
+
+    rot = hm.quat_to_rot(state.quat)                   # body->world
+    i_body = jnp.diag(jnp.asarray(pcfg.inertia_body, dtype))
+    i_world = rot @ i_body @ rot.T
+    omega = state.omega_world
+    omega_dot = hm.inv3(i_world) @ (
+        torque - jnp.cross(omega, i_world @ omega))
+
+    v_new = state.v_world + dt * (force / mass + g_vec)
+    p_new = state.position + dt * v_new                # semi-implicit Euler
+    omega_new = omega + dt * omega_dot
+    quat_new = hm.quat_integrate(state.quat, omega_new, dt)
+
+    # ground plane: don't fall through when standing (simple unilateral stop)
+    any_contact = jnp.any(in_contact)
+    p_new = p_new.at[2].set(
+        jnp.where(any_contact & (p_new[2] < 0.05), state.position[2],
+                  p_new[2]))
+
+    # --- joint kinematics (first-order servo tracking) ---
+    # swing legs track the PD targets; stance legs track the IK of the
+    # anchored foot in the (new) body frame so the controller's FK-based
+    # foot positions reflect the anchored contact (up to the reference's
+    # own FK-vs-IK constant mismatch, a few mm).
+    rot_new = hm.quat_to_rot(quat_new)                 # body->world
+    r_body_new = jnp.swapaxes(rot_new, -1, -2)         # world->body
+    side = jnp.asarray([-1.0, 1.0], dtype)
+    hip_width = jnp.stack([
+        jnp.full((2,), cfg.swing.hip_width_offset_x, dtype),
+        side * cfg.swing.hip_width_offset_y,
+        jnp.zeros((2,), dtype)], axis=-1)
+    anchor_b = ((state.foot_anchor - p_new[None, :]) @ r_body_new.T
+                + hip_width)
+    q_stance = leg_ik(anchor_b, apply_joint_offsets(state.q), cfg)
+
+    has_target = jnp.any(cmd.kp > 0, axis=-1, keepdims=True) | \
+        in_contact[:, None]
+    q_target = jnp.where(in_contact[:, None], q_stance, cmd.q_des)
+    track = jnp.asarray(pcfg.joint_tracking_tau, dtype)
+    qd_des = jnp.clip((q_target - state.q) / track,
+                      -pcfg.joint_vel_limit, pcfg.joint_vel_limit)
+    qd_new = jnp.where(has_target, qd_des, 0.0)
+    q_new = state.q + dt * qd_new
+
+    # --- contact transitions: anchor at touchdown ---
+    hip_yaw = jnp.asarray(
+        [cfg.robot.hip_yaw_location(0), cfg.robot.hip_yaw_location(1)], dtype)
+    p_leg = foot_position(q_new, cfg)
+    fk_foot = p_new[None, :] + (hip_yaw + p_leg) @ rot_new.T
+    touchdown = in_contact & ~state.contact
+    anchors = jnp.where(touchdown[:, None],
+                        fk_foot.at[:, 2].set(0.0), state.foot_anchor)
+
+    return PlantState(
+        position=p_new, quat=quat_new, v_world=v_new,
+        omega_world=omega_new, q=q_new, qd=qd_new,
+        foot_anchor=anchors, contact=in_contact)

@@ -1,0 +1,212 @@
+"""Jitted control/sim loops: per-tick controller, MPC-cadence rollout,
+scenario batching.
+
+This is the TPU-native replacement for the reference's two-process runtime
+(1 kHz ``while(running){FSM->run(); rate.sleep();}`` at main.cpp:66-70
+talking to Gazebo over ROS topics): controller and plant are one pure jitted
+program; the scenario batch replaces wall-clock real time.
+
+Loop structure (instead of the reference's ``iterationCounter % 5`` branch,
+ConvexMPCLocomotion.cpp:277): the rollout scans over MPC periods, each
+unrolling 5 control ticks where only tick 0 solves the QP -- ``do_mpc`` is a
+*static* python bool, so no per-lane branching ever reaches XLA and the
+batched QP solve runs exactly at the 200 Hz cadence.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import HectorConfig, DEFAULT_CONFIG, JOINT_OFFSETS
+from . import gait as G
+from . import control as C
+from . import mpc as M
+from . import swing as SW
+from .plant import srb
+from .kinematics import foot_position, leg_jacobians
+
+
+class ScenarioCommand(NamedTuple):
+    """Per-scenario teleop command + gait selection (the batched analog of
+    the keyboard axes at FSMState_Walking.cpp:30-33 and setGaitNum)."""
+
+    vx: jnp.ndarray          # desired body-frame x velocity
+    vy: jnp.ndarray
+    yaw_rate: jnp.ndarray
+    roll: jnp.ndarray
+    pitch: jnp.ndarray
+    gait_offsets: jnp.ndarray    # (2,) segments
+    gait_durations: jnp.ndarray  # (2,) segments
+
+
+def walking_command(vx=0.0, vy=0.0, yaw_rate=0.0, dtype=jnp.float32):
+    return ScenarioCommand(
+        vx=jnp.asarray(vx, dtype), vy=jnp.asarray(vy, dtype),
+        yaw_rate=jnp.asarray(yaw_rate, dtype),
+        roll=jnp.asarray(0.0, dtype), pitch=jnp.asarray(0.0, dtype),
+        gait_offsets=jnp.asarray([0.0, 5.0], dtype),
+        gait_durations=jnp.asarray([5.0, 5.0], dtype))
+
+
+def standing_command(dtype=jnp.float32):
+    return ScenarioCommand(
+        vx=jnp.asarray(0.0, dtype), vy=jnp.asarray(0.0, dtype),
+        yaw_rate=jnp.asarray(0.0, dtype),
+        roll=jnp.asarray(0.0, dtype), pitch=jnp.asarray(0.0, dtype),
+        gait_offsets=jnp.asarray([0.0, 0.0], dtype),
+        gait_durations=jnp.asarray([10.0, 10.0], dtype))
+
+
+class ControllerCarry(NamedTuple):
+    tick: jnp.ndarray          # int32 iterationCounter
+    mode: jnp.ndarray          # int32 FSM mode
+    planner: M.PlannerState
+    swing: SW.SwingState
+    command: C.CommandState
+
+
+def init_controller_carry(plant: srb.PlantState,
+                          cfg: HectorConfig = DEFAULT_CONFIG):
+    """firstRun initialization (ConvexMPCLocomotion.cpp:66-111)."""
+    dtype = plant.position.dtype
+    est = C.estimate_state(plant.position, plant.v_world, plant.quat,
+                           plant.omega_world)
+    p_leg = foot_position(plant.q, cfg)
+    p_foot_w = M.foot_positions_world(est, p_leg, cfg)
+    return ControllerCarry(
+        tick=jnp.asarray(0, jnp.int32),
+        mode=jnp.asarray(C.MODE_WALKING, jnp.int32),
+        planner=M.init_planner_state(plant.position, dtype),
+        swing=SW.init_swing_state(p_foot_w, dtype),
+        command=C.CommandState(yaw_des=jnp.asarray(0.0, dtype)))
+
+
+N_SEGMENTS = 10  # gait table length == MPC horizon (GaitGenerator ctor args)
+
+
+def controller_tick(carry: ControllerCarry, plant: srb.PlantState,
+                    cmd: ScenarioCommand, do_mpc: bool,
+                    cfg: HectorConfig = DEFAULT_CONFIG):
+    """One 1 kHz FSM tick (FSM::run -> FSMState_Walking::run,
+    FSM.cpp:28-57, FSMState_Walking.cpp:26-41).
+
+    do_mpc is STATIC: the rollout calls the True variant every 5th tick.
+    Returns (carry', MotorCommand, wrench_world (2,6), stance_mask (2,),
+    diagnostics dict).
+    """
+    dtype = plant.position.dtype
+    offsets = jnp.asarray(JOINT_OFFSETS, dtype)
+
+    # --- estimator passthrough (cheater estimators) ---
+    est = C.estimate_state(plant.position, plant.v_world, plant.quat,
+                           plant.omega_world)
+    mode = C.apply_safety(carry.mode, est)
+
+    # --- LegController::updateData (+ the data.q mutation quirk) ---
+    j_fm, j_f = leg_jacobians(plant.q, cfg)
+    p_leg = foot_position(plant.q, cfg)
+    q_data = plant.q + offsets
+
+    # --- DesiredStateCommand ---
+    v_des_robot = jnp.stack([cmd.vx, cmd.vy, jnp.asarray(0.0, dtype)])
+    command = C.command_update(carry.command, est, cmd.yaw_rate, cfg.mpc.dt)
+
+    # --- planner every-tick updates ---
+    planner, v_des_world = M.integrate_position_setpoint(
+        carry.planner, est, v_des_robot, cfg)
+    p_foot_w = M.foot_positions_world(est, p_leg, cfg)
+
+    # --- gait phase ---
+    iteration, phase = G.phase_state(
+        carry.tick, cfg.mpc.iterations_between_mpc, N_SEGMENTS)
+    contact_sub = G.contact_subphase(
+        phase.astype(dtype), cmd.gait_offsets, cmd.gait_durations, N_SEGMENTS)
+    swing_sub = G.swing_subphase(
+        phase.astype(dtype), cmd.gait_offsets, cmd.gait_durations, N_SEGMENTS)
+    gait_table = G.mpc_gait_table(
+        iteration, cmd.gait_offsets, cmd.gait_durations, N_SEGMENTS
+    ).astype(dtype)
+
+    # --- MPC solve at the 200 Hz cadence ---
+    diag = {}
+    if do_mpc:
+        planner, wrench_world, sol = M.mpc_update(
+            planner, est, q_data, p_foot_w, v_des_robot, cmd.yaw_rate,
+            cmd.roll, cmd.pitch, gait_table, cfg)
+        diag = dict(qp_mu=sol.mu, qp_r_dual=sol.r_dual, qp_r_prim=sol.r_prim)
+    else:
+        # reuse last solution: reconstruct the world wrench from stored f_ff
+        r_body_t = jnp.swapaxes(est.r_body, -1, -2)
+        f = planner.f_ff
+        wrench_world = jnp.concatenate([
+            -(f[:, 0:3] @ est.r_body), -(f[:, 3:6] @ est.r_body)], axis=-1)
+
+    # --- swing-leg controller (runs every tick; double-call quirk inside) ---
+    swing_state, p_foot_b, in_swing = SW.swing_update(
+        carry.swing, est, p_leg, v_des_robot, swing_sub,
+        cmd.gait_durations[0], jnp.asarray(float(N_SEGMENTS), dtype), cfg)
+    q_des, kp, kd = SW.swing_joint_setpoints(p_foot_b, q_data, in_swing, cfg)
+
+    # --- stance/swing dispatch (ConvexMPCLocomotion.cpp:196-268) ---
+    stance_mask = (~in_swing) & (contact_sub > 0)
+    motor_cmd = C.leg_torque_command(
+        j_fm, planner.f_ff, stance_mask.astype(dtype), q_des, kp, kd)
+    motor_cmd = C.apply_mode(motor_cmd, mode)
+    wrench_world = wrench_world * stance_mask[:, None].astype(dtype)
+    wrench_world = wrench_world * (mode == C.MODE_WALKING).astype(dtype)
+
+    new_carry = ControllerCarry(
+        tick=carry.tick + 1, mode=mode, planner=planner,
+        swing=swing_state, command=command)
+    diag.update(height=est.position[2], vx=est.v_world[0],
+                fallen=(mode == C.MODE_PASSIVE))
+    return new_carry, motor_cmd, wrench_world, stance_mask, diag
+
+
+def make_rollout(n_periods: int, cfg: HectorConfig = DEFAULT_CONFIG,
+                 batched: bool = True):
+    """Build a jitted rollout of ``n_periods`` MPC periods (5 ticks each).
+
+    Returns rollout(carry, plant, cmd) -> (carry', plant', diagnostics);
+    diagnostics are stacked over periods.  With batched=True all inputs
+    carry a leading scenario axis (vmap); shard the inputs with
+    NamedSharding to scale across devices (hector/parallel.py).
+    """
+
+    def rollout(carry, plant, cmd):
+        def body(state, _):
+            c, p = state
+            diag0 = None
+            for k in range(cfg.mpc.mpc_cadence):
+                c, motor_cmd, wrench, stance, diag = controller_tick(
+                    c, p, cmd, do_mpc=(k == 0), cfg=cfg)
+                if k == 0:
+                    diag0 = diag
+                p = srb.step(p, motor_cmd, wrench, stance, cfg=cfg)
+            return (c, p), diag0
+
+        (carry, plant), diags = jax.lax.scan(
+            body, (carry, plant), None, length=n_periods)
+        return carry, plant, diags
+
+    if batched:
+        rollout = jax.vmap(rollout)
+    return jax.jit(rollout)
+
+
+def plan_step_fn(cfg: HectorConfig = DEFAULT_CONFIG):
+    """The benchmark unit: ONE full batched MPC planning step
+    (FK -> gait -> reference -> QP build -> PDIP solve -> wrench), i.e.
+    everything the reference does in updateMPCIfNeeded plus the kinematics
+    it consumes.  vmap/jit applied by the caller."""
+
+    def plan_step(carry: ControllerCarry, plant: srb.PlantState,
+                  cmd: ScenarioCommand):
+        new_carry, motor_cmd, wrench, stance, diag = controller_tick(
+            carry, plant, cmd, do_mpc=True, cfg=cfg)
+        return new_carry, wrench, motor_cmd
+
+    return plan_step
