@@ -209,7 +209,9 @@ class PlantConfig:
 class SolverConfig:
     """Fixed-iteration batched PDIP QP solver settings (hector/qp/pdip.py)."""
 
-    iterations: int = 18
+    # float32 converges (and freezes) by ~7 iterations on the Hector QP
+    # family; 12 leaves margin for hard scenarios (f64 parity tests use 25)
+    iterations: int = 12
     mehrotra: bool = True
     frac_to_boundary: float = 0.99
     init_slack: float = 1.0
@@ -218,6 +220,9 @@ class SolverConfig:
     big_threshold: float = 1e9
     # Tikhonov jitter added to the KKT diagonal for float32 robustness
     kkt_reg: float = 1e-8
+    # linear-algebra backend: 'auto' | 'xla' | 'pallas' | 'pallas_interpret'
+    # (auto = lane-vectorized pallas kernels on TPU, XLA elsewhere)
+    backend: str = 'auto'
 
 
 @dataclasses.dataclass(frozen=True)

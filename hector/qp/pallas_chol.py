@@ -1,0 +1,160 @@
+"""Pallas TPU kernels: batch-lane-vectorized Cholesky factor + solve.
+
+The PDIP solver's cost is one 120x120 SPD factorization + two triangular
+solves per iteration per scenario.  XLA's native batched cholesky/
+triangular_solve on TPU is scalar-loop-shaped and memory-bound (measured
+61 ms + 2x44 ms per iteration at batch 4096 on v5e -- 98% of the whole MPC
+step).  The TPU-native formulation inverts the layout: matrices live as
+(n, n, B) with the BATCH on the minor (sublane, lane) dims, so every scalar
+operation of the textbook algorithm becomes one VPU op over 128 scenarios,
+and the whole factorization runs out of VMEM with zero intermediate HBM
+traffic.
+
+Algorithm (per 128-scenario tile, n static):
+
+  factor: right-looking Cholesky, j = 0..n-1:
+      piv   = M[j, j, :]                       (1, 1, 128)
+      lcol  = M[:, j, :] * rsqrt(piv)          (n, 1, 128)
+      lrow  = M[j, :, :] * rsqrt(piv)          (1, n, 128)  (symmetry!)
+      M    -= mask(row > j) lcol * mask(col > j) lrow       rank-1 update
+      M[:, j, :] = mask(row >= j) lcol                      final column
+  The symmetric read of both the column and the row avoids any in-kernel
+  transpose.  Cost: n * (n*n*B) VPU MACs = 3x the n^3/3 minimum -- the
+  uniform full-tile update keeps every step a static-shape VPU op.
+
+  solve: forward substitution on L then back substitution on L^T, both
+  column/row-sliced the same way; O(n^2 B) -- negligible.
+
+Interpret mode (CPU) is used by the tests; the TPU path compiles with
+input/output aliasing so the factorization is in-place (one 7.4 MB VMEM
+buffer per tile).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE_TILE = 128
+
+
+def _chol_kernel(m_ref, l_ref, *, n: int):
+    # in-place: l_ref aliases m_ref's block
+    l_ref[...] = m_ref[...]
+    row_ge = jax.lax.broadcasted_iota(jnp.int32, (n, 1, LANE_TILE), 0)
+    col_ge = jax.lax.broadcasted_iota(jnp.int32, (1, n, LANE_TILE), 1)
+
+    def body(j, _):
+        piv = l_ref[pl.ds(j, 1), pl.ds(j, 1), :]          # (1, 1, T)
+        inv = jax.lax.rsqrt(piv)
+        lcol = l_ref[:, pl.ds(j, 1), :] * inv             # (n, 1, T)
+        lrow = l_ref[pl.ds(j, 1), :, :] * inv             # (1, n, T)
+        lcol_m = jnp.where(row_ge[:, :1] > j, lcol, 0.0)
+        lrow_m = jnp.where(col_ge > j, lrow, 0.0)
+        l_ref[...] = l_ref[...] - lcol_m * lrow_m
+        l_ref[:, pl.ds(j, 1), :] = jnp.where(row_ge[:, :1] >= j, lcol, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0, unroll=False)
+
+
+def _solve_kernel(l_ref, b_ref, x_ref, *, n: int):
+    x_ref[...] = b_ref[...]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, LANE_TILE), 0)
+
+    def fwd(j, _):
+        piv = l_ref[pl.ds(j, 1), pl.ds(j, 1), :]          # (1, 1, T)
+        xj = x_ref[pl.ds(j, 1), :] / piv[0]               # (1, T)
+        col = l_ref[:, pl.ds(j, 1), :][:, 0, :]           # (n, T)
+        upd = jnp.where(row > j, col * xj, 0.0)
+        x_ref[...] = x_ref[...] - upd
+        x_ref[pl.ds(j, 1), :] = xj
+        return 0
+
+    jax.lax.fori_loop(0, n, fwd, 0, unroll=False)
+
+    def bwd(i, _):
+        j = n - 1 - i
+        piv = l_ref[pl.ds(j, 1), pl.ds(j, 1), :]
+        xj = x_ref[pl.ds(j, 1), :] / piv[0]
+        rowv = l_ref[pl.ds(j, 1), :, :][0]                # (n, T): L[j, :]
+        upd = jnp.where(row < j, rowv * xj, 0.0)
+        x_ref[...] = x_ref[...] - upd
+        x_ref[pl.ds(j, 1), :] = xj
+        return 0
+
+    jax.lax.fori_loop(0, n, bwd, 0, unroll=False)
+
+
+def _pad_batch(x, tile):
+    b = x.shape[-1]
+    pad = (-b) % tile
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    return x, b
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cholesky_nnb(m, interpret: bool = False):
+    """Batched Cholesky of (n, n, B) SPD matrices (batch minor).
+
+    Returns L in the lower triangle (upper = 0).  B is padded to a multiple
+    of 128 internally; padded lanes factor garbage harmlessly (rsqrt of 0 ->
+    inf is confined to its lane).
+    """
+    n = m.shape[0]
+    m_p, b = _pad_batch(m, LANE_TILE)
+    # pad lanes get identity so rsqrt stays finite
+    if m_p.shape[-1] != b:
+        eye = jnp.eye(n, dtype=m.dtype)[:, :, None]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m_p.shape[-1]), 2)
+        m_p = jnp.where(lane >= b, eye, m_p)
+    grid = (m_p.shape[-1] // LANE_TILE,)
+    out = pl.pallas_call(
+        functools.partial(_chol_kernel, n=n),
+        out_shape=jax.ShapeDtypeStruct(m_p.shape, m_p.dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((n, n, LANE_TILE), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n, n, LANE_TILE), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(m_p)
+    return out[..., :b]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cholesky_solve_nnb(l, rhs, interpret: bool = False):
+    """Solve L L^T x = rhs with L (n, n, B) from cholesky_nnb, rhs (n, B)."""
+    n = l.shape[0]
+    l_p, b = _pad_batch(l, LANE_TILE)
+    if l_p.shape[-1] != b:
+        eye = jnp.eye(n, dtype=l.dtype)[:, :, None]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, l_p.shape[-1]), 2)
+        l_p = jnp.where(lane >= b, eye, l_p)
+    rhs_p, _ = _pad_batch(rhs, LANE_TILE)
+    grid = (l_p.shape[-1] // LANE_TILE,)
+    out = pl.pallas_call(
+        functools.partial(_solve_kernel, n=n),
+        out_shape=jax.ShapeDtypeStruct(rhs_p.shape, rhs.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, n, LANE_TILE), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, LANE_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, LANE_TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(l_p, rhs_p)
+    return out[..., :b]

@@ -1,0 +1,77 @@
+"""IO subsystem tests: checkpoint/resume, trajectory playback, scenario
+generation, metrics logging."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hector import runtime as RT
+from hector import parallel as PAR
+from hector.config import DEFAULT_CONFIG as CFG
+from hector.io import scenarios as SC
+from hector.io import trajectory as TRAJ
+from hector.io.metrics import MetricsLogger, summarize_rollout
+
+
+def test_random_commands_envelope():
+    cmd = SC.random_commands(jax.random.PRNGKey(0), 256)
+    assert float(cmd.vx.min()) >= SC.VX_RANGE[0]
+    assert float(cmd.vx.max()) <= SC.VX_RANGE[1]
+    assert float(cmd.yaw_rate.max()) <= SC.YAW_RATE_RANGE[1]
+    # standing scenarios have zero commands and full-stance gait
+    standing = np.asarray(cmd.gait_durations[:, 0]) == 10.0
+    assert standing.any()
+    assert np.all(np.asarray(cmd.vx)[standing] == 0.0)
+
+
+def test_disturbance_schedule_sparse():
+    d = SC.disturbance_schedule(jax.random.PRNGKey(1), 64, 100, p_push=0.01)
+    assert d.shape == (100, 64, 6)
+    frac = float((np.abs(np.asarray(d)).sum(-1) > 0).mean())
+    assert 0.001 < frac < 0.05
+
+
+def test_trajectory_roundtrip(tmp_path):
+    path = str(tmp_path / "traj.csv")
+    times = np.arange(0, 1.0, 0.01)
+    states = np.random.default_rng(0).normal(size=(100, 12))
+    TRAJ.write_csv(path, times, states)
+    tbl = TRAJ.TrajectoryTable.from_csv(path)
+    np.testing.assert_allclose(
+        np.asarray(tbl.state_at(jnp.asarray(0.505))), states[50], atol=1e-6)
+    # clamping at both ends (extractTrajectory saturation semantics)
+    np.testing.assert_allclose(
+        np.asarray(tbl.state_at(jnp.asarray(-1.0))), states[0], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(tbl.state_at(jnp.asarray(99.0))), states[-1], atol=1e-6)
+    # batched lookup
+    out = tbl.state_at(jnp.asarray([0.0, 0.5, 0.99]))
+    assert out.shape == (3, 12)
+
+
+def test_metrics_logger(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    logger = MetricsLogger(path)
+    logger.log(0, {"a": jnp.asarray(1.5)}, note="x")
+    logger.log(1, {"a": 2.0})
+    logger.close()
+    lines = open(path).read().strip().split("\n")
+    assert len(lines) == 2
+    import json
+    assert json.loads(lines[0])["a"] == 1.5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from hector.io import checkpoint as CKPT
+    path = str(tmp_path / "ckpt")
+    carry, plant, cmd = PAR.make_batch(4, cfg=CFG)
+    CKPT.save(path, 7, carry, plant, cmd)
+    template = PAR.make_batch(4, cfg=CFG)
+    step, restored = CKPT.restore(path, template)
+    assert step == 7
+    np.testing.assert_allclose(np.asarray(restored["plant"].position),
+                               np.asarray(plant.position))
+    np.testing.assert_allclose(np.asarray(restored["cmd"].vx),
+                               np.asarray(cmd.vx))

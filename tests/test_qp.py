@@ -115,3 +115,21 @@ def test_pdip_float32_accuracy():
         sol = pdip.solve(qp32, scfg)
         err = np.abs(np.asarray(sol.u) - GOLD[f's{k}_q_soln']).max()
         assert err < 0.05, f'scenario {k}: float32 max err {err}'
+
+
+def test_pallas_backend_interpret_matches_xla():
+    """The lane-vectorized pallas kernels (interpret mode on CPU) must
+    reproduce the XLA backend's solutions."""
+    from hector.qp import pdip as P
+    qps = [_build(k) for k in range(3)]
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs).astype(jnp.float32),
+                           *qps)
+    sol_x = P.solve_batched(batched, SolverConfig(iterations=10,
+                                                  backend='xla'))
+    sol_p = P.solve_batched(batched, SolverConfig(
+        iterations=10, backend='pallas_interpret'))
+    np.testing.assert_allclose(np.asarray(sol_p.u), np.asarray(sol_x.u),
+                               atol=2e-2)
+    for k in range(3):
+        assert np.abs(np.asarray(sol_p.u[k]) - GOLD[f's{k}_q_soln']).max() \
+            < 0.05
