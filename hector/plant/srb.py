@@ -86,15 +86,26 @@ def servo_torque(cmd, q, qd, cfg: HectorConfig):
     return jnp.clip(tau, -cfg.plant.torque_limit, cfg.plant.torque_limit)
 
 
+def terrain_height(x, step_height, step_length):
+    """Stairs-style heightfield h(x) = step_height * floor(x / step_length)
+    (the batched analog of the reference's stairs world,
+    unitree_gazebo/worlds/stairs.world); step_height = 0 -> flat ground."""
+    return step_height * jnp.floor(x / jnp.maximum(step_length, 1e-3))
+
+
 def step(state: PlantState, cmd, wrench_world, contact_sched,
-         disturbance=None, cfg: HectorConfig = DEFAULT_CONFIG) -> PlantState:
+         disturbance=None, terrain=None,
+         cfg: HectorConfig = DEFAULT_CONFIG) -> PlantState:
     """One 1 ms physics tick.
 
     cmd: MotorCommand (leg-major (2,5) arrays); wrench_world: (2, 6) world
     GRF+GRM commanded for stance legs (from the MPC solution); contact_sched:
     (2,) gait-scheduled contact flags for this tick; disturbance: optional
     (6,) world wrench on the trunk (external-push testing, the analog of
-    unitree_controller's external_force teleop).
+    unitree_controller's external_force teleop); terrain: optional
+    (step_height, step_length) scalars for the stairs heightfield -- the
+    controller keeps the reference's flat-ground model, so terrain acts as a
+    model-mismatch robustness perturbation.
     """
     dtype = state.position.dtype
     pcfg = cfg.plant
@@ -142,10 +153,14 @@ def step(state: PlantState, cmd, wrench_world, contact_sched,
     quat_new = hm.quat_integrate(state.quat, omega_new, dt)
 
     # ground plane: don't fall through when standing (simple unilateral stop)
+    if terrain is not None:
+        ground_z = terrain_height(p_new[0], terrain[0], terrain[1])
+    else:
+        ground_z = jnp.asarray(0.0, dtype)
     any_contact = jnp.any(in_contact)
     p_new = p_new.at[2].set(
-        jnp.where(any_contact & (p_new[2] < 0.05), state.position[2],
-                  p_new[2]))
+        jnp.where(any_contact & (p_new[2] - ground_z < 0.05),
+                  state.position[2], p_new[2]))
 
     # --- joint kinematics (first-order servo tracking) ---
     # swing legs track the PD targets; stance legs track the IK of the
@@ -178,8 +193,13 @@ def step(state: PlantState, cmd, wrench_world, contact_sched,
     p_leg = foot_position(q_new, cfg)
     fk_foot = p_new[None, :] + (hip_yaw + p_leg) @ rot_new.T
     touchdown = in_contact & ~state.contact
+    if terrain is not None:
+        foot_ground = terrain_height(fk_foot[:, 0], terrain[0], terrain[1])
+    else:
+        foot_ground = jnp.zeros((2,), dtype)
     anchors = jnp.where(touchdown[:, None],
-                        fk_foot.at[:, 2].set(0.0), state.foot_anchor)
+                        fk_foot.at[:, 2].set(foot_ground),
+                        state.foot_anchor)
 
     return PlantState(
         position=p_new, quat=quat_new, v_world=v_new,

@@ -40,15 +40,23 @@ class ScenarioCommand(NamedTuple):
     pitch: jnp.ndarray
     gait_offsets: jnp.ndarray    # (2,) segments
     gait_durations: jnp.ndarray  # (2,) segments
+    # terrain (plant-side extension; the controller keeps the reference's
+    # flat-ground assumption, so terrain is a robustness perturbation):
+    # ground height h(x) = step_height * floor(x / step_length)
+    terrain_step_height: jnp.ndarray  # scalar, 0 = flat
+    terrain_step_length: jnp.ndarray  # scalar
 
 
-def walking_command(vx=0.0, vy=0.0, yaw_rate=0.0, dtype=jnp.float32):
+def walking_command(vx=0.0, vy=0.0, yaw_rate=0.0, step_height=0.0,
+                    step_length=1.0, dtype=jnp.float32):
     return ScenarioCommand(
         vx=jnp.asarray(vx, dtype), vy=jnp.asarray(vy, dtype),
         yaw_rate=jnp.asarray(yaw_rate, dtype),
         roll=jnp.asarray(0.0, dtype), pitch=jnp.asarray(0.0, dtype),
         gait_offsets=jnp.asarray([0.0, 5.0], dtype),
-        gait_durations=jnp.asarray([5.0, 5.0], dtype))
+        gait_durations=jnp.asarray([5.0, 5.0], dtype),
+        terrain_step_height=jnp.asarray(step_height, dtype),
+        terrain_step_length=jnp.asarray(step_length, dtype))
 
 
 def standing_command(dtype=jnp.float32):
@@ -57,7 +65,9 @@ def standing_command(dtype=jnp.float32):
         yaw_rate=jnp.asarray(0.0, dtype),
         roll=jnp.asarray(0.0, dtype), pitch=jnp.asarray(0.0, dtype),
         gait_offsets=jnp.asarray([0.0, 0.0], dtype),
-        gait_durations=jnp.asarray([10.0, 10.0], dtype))
+        gait_durations=jnp.asarray([10.0, 10.0], dtype),
+        terrain_step_height=jnp.asarray(0.0, dtype),
+        terrain_step_length=jnp.asarray(1.0, dtype))
 
 
 class ControllerCarry(NamedTuple):
@@ -167,17 +177,23 @@ def controller_tick(carry: ControllerCarry, plant: srb.PlantState,
 
 
 def make_rollout(n_periods: int, cfg: HectorConfig = DEFAULT_CONFIG,
-                 batched: bool = True):
+                 batched: bool = True, with_disturbance: bool = False):
     """Build a jitted rollout of ``n_periods`` MPC periods (5 ticks each).
 
-    Returns rollout(carry, plant, cmd) -> (carry', plant', diagnostics);
-    diagnostics are stacked over periods.  With batched=True all inputs
-    carry a leading scenario axis (vmap); shard the inputs with
+    Returns rollout(carry, plant, cmd[, disturbance]) -> (carry', plant',
+    diagnostics); diagnostics are stacked over periods.  With batched=True
+    all inputs carry a leading scenario axis (vmap); shard the inputs with
     NamedSharding to scale across devices (hector/parallel.py).
+
+    with_disturbance=True adds a (n_periods, 6) world-wrench input applied
+    on every tick of its period (push-recovery testing; the analog of
+    external_force teleop, unitree_controller/src/external_force.cpp).
     """
 
-    def rollout(carry, plant, cmd):
-        def body(state, _):
+    def rollout(carry, plant, cmd, disturbance=None):
+        terrain = (cmd.terrain_step_height, cmd.terrain_step_length)
+
+        def body(state, dist):
             c, p = state
             diag0 = None
             for k in range(cfg.mpc.mpc_cadence):
@@ -185,16 +201,21 @@ def make_rollout(n_periods: int, cfg: HectorConfig = DEFAULT_CONFIG,
                     c, p, cmd, do_mpc=(k == 0), cfg=cfg)
                 if k == 0:
                     diag0 = diag
-                p = srb.step(p, motor_cmd, wrench, stance, cfg=cfg)
+                p = srb.step(p, motor_cmd, wrench, stance,
+                             disturbance=dist, terrain=terrain, cfg=cfg)
             return (c, p), diag0
 
         (carry, plant), diags = jax.lax.scan(
-            body, (carry, plant), None, length=n_periods)
+            body, (carry, plant), disturbance, length=n_periods)
         return carry, plant, diags
 
+    if with_disturbance:
+        fn = rollout
+    else:
+        fn = lambda carry, plant, cmd: rollout(carry, plant, cmd, None)
     if batched:
-        rollout = jax.vmap(rollout)
-    return jax.jit(rollout)
+        fn = jax.vmap(fn)
+    return jax.jit(fn)
 
 
 def plan_step_fn(cfg: HectorConfig = DEFAULT_CONFIG):

@@ -28,7 +28,7 @@ def test_random_commands_envelope():
 
 def test_disturbance_schedule_sparse():
     d = SC.disturbance_schedule(jax.random.PRNGKey(1), 64, 100, p_push=0.01)
-    assert d.shape == (100, 64, 6)
+    assert d.shape == (64, 100, 6)
     frac = float((np.abs(np.asarray(d)).sum(-1) > 0).mean())
     assert 0.001 < frac < 0.05
 
