@@ -133,3 +133,42 @@ def test_pallas_backend_interpret_matches_xla():
     for k in range(3):
         assert np.abs(np.asarray(sol_p.u[k]) - GOLD[f's{k}_q_soln']).max() \
             < 0.05
+
+
+def test_native_oracle_matches_certified_solutions():
+    """The clean-room C++ active-set oracle (native/qp_oracle.cpp) must
+    reproduce the certified optima -- an independent double-precision check
+    standing in for qpOASES."""
+    from hector.qp import ref_check
+    for k in range(3):
+        qp = _build(k)
+        x = ref_check.solve_qpdata(qp)
+        err = np.abs(x - GOLD[f's{k}_q_soln']).max()
+        assert err < 1e-6, f'scenario {k}: oracle err {err}'
+
+
+def test_pdip_vs_native_oracle_fresh_scenarios():
+    """Cross-validation on scenarios NOT in the golden set: PDIP (f64) vs
+    the native oracle to 1e-3 N."""
+    from hector.qp import ref_check
+    import hector.gait as G
+    rng = np.random.default_rng(123)
+    for trial in range(3):
+        rpy = rng.uniform(-0.1, 0.1, 3)
+        quat = HM.rpy_to_quat(jnp.asarray(rpy))
+        x0 = jnp.asarray(np.concatenate([
+            rpy, rng.uniform(-0.1, 0.1, 2).tolist() + [0.54],
+            rng.uniform(-0.2, 0.2, 3), rng.uniform(-0.3, 0.3, 3), [9.81]]))
+        traj = jnp.tile(jnp.asarray([0, 0, 0, 0, 0, 0.55, 0, 0, 0,
+                                     0.3, 0, 0.0]), (10, 1))
+        q_eff = jnp.asarray(rng.uniform(-0.3, 0.3, (2, 5)) + 3 * OFFS)
+        r_foot = K.foot_rotation(q_eff)
+        r_feet = jnp.asarray(rng.uniform(-0.1, 0.1, (2, 3))).at[:, 2].set(-0.5)
+        gait = G.mpc_gait_table(jnp.asarray(trial * 3), jnp.asarray([0., 5.]),
+                                jnp.asarray([5., 5.]), 10).astype(x0.dtype)
+        qp = build_qp(x0, traj, HM.quat_to_rot(quat), r_foot, r_feet,
+                      I_BODY, gait, CFG)
+        x_oracle = ref_check.solve_qpdata(qp)
+        sol = pdip.solve(qp, SolverConfig(iterations=25))
+        err = np.abs(np.asarray(sol.u) - x_oracle).max()
+        assert err < 1e-3, f'trial {trial}: {err}'
