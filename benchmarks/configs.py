@@ -1,0 +1,148 @@
+"""BASELINE.json benchmark configurations as runnable functions.
+
+  1. standing balance, single scenario, flat ground (CPU-runnable)
+  2. forward walking 0.5 m/s, batch=64 velocity commands
+  3. batch=4096 randomized command/terrain scenarios, full pipeline, 1 chip
+  4. batch=32k sharded across 1 host (8 chips)
+  5. batch=256k across N>=2 hosts (scaling-efficiency report)
+
+Each returns a metrics dict; run via ``python -m benchmarks.run [config]``.
+On hardware smaller than a config's target (e.g. one chip instead of 8),
+the config runs at the largest supported scale and reports the actual
+device count -- the sharding code path is identical.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _throughput(step_fn, args, iters=10):
+    out = step_fn(*args)
+    jax.block_until_ready(jax.tree.leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step_fn(*args)
+    jax.block_until_ready(jax.tree.leaves(out)[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def config1_standing(seconds: float = 2.0) -> dict:
+    """Standing balance, single scenario (BASELINE config 1)."""
+    from hector import runtime as RT
+    from hector.plant import srb
+    from hector.config import DEFAULT_CONFIG as CFG
+    from hector.io.metrics import summarize_rollout
+
+    n_periods = int(seconds / 0.005)
+    plant = srb.init_plant_state(CFG)
+    carry = RT.init_controller_carry(plant, CFG)
+    roll = RT.make_rollout(n_periods, cfg=CFG, batched=False)
+    carry, plant, diags = roll(carry, plant, RT.standing_command())
+    m = summarize_rollout(diags)
+    m.update(config="standing_single", seconds=seconds,
+             passed=bool(m["fallen_frac"] == 0 and 0.45 < m["mean_height"]))
+    return m
+
+
+def config2_walking64(seconds: float = 2.0) -> dict:
+    """Forward walking, batch=64 velocity commands (BASELINE config 2)."""
+    from hector import runtime as RT, parallel as PAR
+    from hector.config import DEFAULT_CONFIG as CFG
+
+    n_periods = int(seconds / 0.005)
+    vx = jnp.linspace(0.1, 0.75, 64)
+    carry, plant, cmd = PAR.make_batch(
+        64, cmd_fn=lambda i: RT.walking_command(vx=vx[i]))
+    roll = RT.make_rollout(n_periods, cfg=CFG, batched=True)
+    dt = _throughput(roll, (carry, plant, cmd), iters=3)
+    carry, plant, diags = roll(carry, plant, cmd)
+    fallen = float(np.asarray(diags["fallen"]).mean())
+    x = np.asarray(plant.position[:, 0])
+    return dict(config="walking_batch64", seconds=seconds,
+                fallen_frac=fallen,
+                mean_x_traveled=float(x.mean()),
+                sim_seconds_per_wall_second=seconds * 64 / dt,
+                passed=bool(fallen == 0 and x.mean() > 0.2 * seconds * 0.4))
+
+
+def config3_randomized4096(batch: int = 4096) -> dict:
+    """Randomized command/terrain scenarios, full MPC pipeline, 1 chip
+    (BASELINE config 3): reports planning throughput."""
+    from hector import runtime as RT, parallel as PAR
+    from hector.io import scenarios as SC
+    from hector.config import DEFAULT_CONFIG as CFG
+
+    key = jax.random.PRNGKey(0)
+    carry, plant, _ = PAR.make_batch(batch, cfg=CFG)
+    cmd = SC.random_commands(key, batch, p_stairs=0.2)
+    plan = jax.jit(jax.vmap(RT.plan_step_fn(CFG)))
+    dt = _throughput(plan, (carry, plant, cmd), iters=10)
+    solves_per_s = batch / dt
+    return dict(config="randomized_batch", batch=batch,
+                solves_per_s=solves_per_s,
+                per_chip=solves_per_s / jax.local_device_count(),
+                passed=True)
+
+
+def config4_sharded(batch: int = 32768, seconds: float = 0.25) -> dict:
+    """Scenario batch sharded over the local mesh (BASELINE config 4:
+    32k over 8 chips; runs at the available device count)."""
+    from hector import runtime as RT, parallel as PAR
+    from hector.io import scenarios as SC
+    from hector.config import DEFAULT_CONFIG as CFG
+
+    mesh = PAR.data_mesh()
+    n_dev = mesh.devices.size
+    batch = min(batch, 4096 * n_dev)
+    carry, plant, _ = PAR.make_batch(batch, cfg=CFG, mesh=mesh)
+    cmd = PAR.shard_batch(
+        SC.random_commands(jax.random.PRNGKey(0), batch), mesh)
+    n_periods = max(1, int(seconds / 0.005))
+    roll = PAR.make_sharded_rollout(n_periods, mesh, CFG)
+    dt = _throughput(roll, (carry, plant, cmd), iters=3)
+    solves = batch * n_periods
+    carry, plant, metrics = roll(carry, plant, cmd)
+    return dict(config="sharded_host", batch=batch, devices=int(n_dev),
+                closed_loop_solves_per_s=solves / dt,
+                fallen_count=float(metrics["fallen_count"]),
+                passed=True)
+
+
+def config5_scaling(max_batch: int = 262144) -> dict:
+    """Scaling-efficiency report (BASELINE config 5 shape): planning
+    throughput vs batch size on the available mesh; multihost runs use
+    hector.parallel.multihost() with the same code."""
+    from hector import runtime as RT, parallel as PAR
+    from hector.io import scenarios as SC
+    from hector.config import DEFAULT_CONFIG as CFG
+
+    mesh = PAR.data_mesh()
+    n_dev = mesh.devices.size
+    plan = jax.jit(jax.vmap(RT.plan_step_fn(CFG)))
+    rows = []
+    batch = 512
+    while batch <= min(max_batch, 16384 * n_dev):
+        carry, plant, _ = PAR.make_batch(batch, cfg=CFG, mesh=mesh)
+        cmd = PAR.shard_batch(
+            SC.random_commands(jax.random.PRNGKey(0), batch), mesh)
+        dt = _throughput(plan, (carry, plant, cmd), iters=5)
+        rows.append(dict(batch=batch, solves_per_s=batch / dt))
+        batch *= 4
+    base = rows[0]["solves_per_s"] / rows[0]["batch"]
+    for r in rows:
+        r["efficiency"] = r["solves_per_s"] / (base * r["batch"])
+    return dict(config="scaling", devices=int(n_dev), rows=rows, passed=True)
+
+
+CONFIGS = {
+    "1": config1_standing,
+    "2": config2_walking64,
+    "3": config3_randomized4096,
+    "4": config4_sharded,
+    "5": config5_scaling,
+}

@@ -42,24 +42,36 @@ from jax.experimental.pallas import tpu as pltpu
 LANE_TILE = 128
 
 
+PHASE = 32  # columns per phase; offsets stay sublane-aligned (multiple of 8)
+
+
 def _chol_kernel(m_ref, l_ref, *, n: int):
-    # in-place: l_ref aliases m_ref's block
+    """Right-looking Cholesky, phased so the rank-1 updates only touch the
+    trailing (n-off)^2 submatrix -- ~2x fewer VPU flops than a full-tile
+    update at n=120.  Entries above the diagonal are left as garbage (never
+    read by the solve kernel, which masks strictly to the lower triangle).
+    """
     l_ref[...] = m_ref[...]
-    row_ge = jax.lax.broadcasted_iota(jnp.int32, (n, 1, LANE_TILE), 0)
-    col_ge = jax.lax.broadcasted_iota(jnp.int32, (1, n, LANE_TILE), 1)
 
-    def body(j, _):
-        piv = l_ref[pl.ds(j, 1), pl.ds(j, 1), :]          # (1, 1, T)
-        inv = jax.lax.rsqrt(piv)
-        lcol = l_ref[:, pl.ds(j, 1), :] * inv             # (n, 1, T)
-        lrow = l_ref[pl.ds(j, 1), :, :] * inv             # (1, n, T)
-        lcol_m = jnp.where(row_ge[:, :1] > j, lcol, 0.0)
-        lrow_m = jnp.where(col_ge > j, lrow, 0.0)
-        l_ref[...] = l_ref[...] - lcol_m * lrow_m
-        l_ref[:, pl.ds(j, 1), :] = jnp.where(row_ge[:, :1] >= j, lcol, 0.0)
-        return 0
+    for off in range(0, n, PHASE):
+        size = n - off
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (size, 1, LANE_TILE), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, size, LANE_TILE), 1)
 
-    jax.lax.fori_loop(0, n, body, 0, unroll=False)
+        def body(jj, _, off=off, size=size, row_ids=row_ids, col_ids=col_ids):
+            j = off + jj
+            piv = l_ref[pl.ds(j, 1), pl.ds(j, 1), :]       # (1, 1, T)
+            inv = jax.lax.rsqrt(piv)
+            lcol = l_ref[off:, pl.ds(j, 1), :] * inv       # (size, 1, T)
+            lrow = l_ref[pl.ds(j, 1), off:, :] * inv       # (1, size, T)
+            lcol_m = jnp.where(row_ids > jj, lcol, 0.0)
+            lrow_m = jnp.where(col_ids > jj, lrow, 0.0)
+            l_ref[off:, off:, :] = l_ref[off:, off:, :] - lcol_m * lrow_m
+            l_ref[off:, pl.ds(j, 1), :] = jnp.where(
+                row_ids >= jj, lcol, 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, min(PHASE, size), body, 0, unroll=False)
 
 
 def _solve_kernel(l_ref, b_ref, x_ref, *, n: int):

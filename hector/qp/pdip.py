@@ -107,6 +107,7 @@ def solve_batched(qp: QPData, scfg: SolverConfig = SolverConfig()
     mu_floor = jnp.maximum(jnp.asarray(1e-14, dtype), 10.0 * eps)
     s_floor = 10.0 * eps
     d_cap = 0.1 / eps
+    sl_cap = jnp.asarray(1e8, dtype)  # keeps s*lam finite in float32
 
     def apply_c(u):
         return jnp.einsum('bij,bhj->bhi', c_block, u.reshape(bsz, h, 12))
@@ -207,6 +208,7 @@ def solve_batched(qp: QPData, scfg: SolverConfig = SolverConfig()
                   + jnp.sum((s_u + a_p * dsu_a) * (lam_u + a_d * dlu_a)
                             * mask_u, axis=(1, 2))) / n_act
         sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+        sigma = jnp.nan_to_num(sigma, nan=1.0)
 
         smu = (sigma * mu)[:, None, None]
         tau_l = smu - dsl_a * dll_a
@@ -219,12 +221,26 @@ def solve_batched(qp: QPData, scfg: SolverConfig = SolverConfig()
         a_d = jnp.minimum(alpha_max(lam_l, dl_l, mask_l, frac),
                           alpha_max(lam_u, dl_u, mask_u, frac))[:, None, None]
 
-        done = (mu < mu_floor)[:, None, None]
-        u_n = jnp.where(done[..., 0], u, u + a_p[..., 0] * du)
-        s_l_n = jnp.where(done | ~mask_l, s_l, s_l + a_p * ds_l)
-        s_u_n = jnp.where(done | ~mask_u, s_u, s_u + a_p * ds_u)
-        lam_l_n = jnp.where(done | ~mask_l, lam_l, lam_l + a_d * dl_l)
-        lam_u_n = jnp.where(done | ~mask_u, lam_u, lam_u + a_d * dl_u)
+        # NaN quarantine: a lane whose Newton direction went non-finite
+        # (degenerate/near-infeasible QP in float32) takes a zero step and
+        # keeps its last good iterate instead of poisoning the batch.
+        finite = (jnp.all(jnp.isfinite(du), axis=1)
+                  & jnp.all(jnp.isfinite(ds_l) & jnp.isfinite(dl_l)
+                            & jnp.isfinite(ds_u) & jnp.isfinite(dl_u),
+                            axis=(1, 2)))[:, None, None]
+        a_p = jnp.where(finite, a_p, 0.0)
+        a_d = jnp.where(finite, a_d, 0.0)
+
+        skip = (mu < mu_floor)[:, None, None] | ~finite
+        u_n = jnp.where(skip[..., 0], u, u + a_p[..., 0] * du)
+        s_l_n = jnp.where(skip | ~mask_l, s_l,
+                          jnp.clip(s_l + a_p * ds_l, 0.0, sl_cap))
+        s_u_n = jnp.where(skip | ~mask_u, s_u,
+                          jnp.clip(s_u + a_p * ds_u, 0.0, sl_cap))
+        lam_l_n = jnp.where(skip | ~mask_l, lam_l,
+                            jnp.clip(lam_l + a_d * dl_l, 0.0, sl_cap))
+        lam_u_n = jnp.where(skip | ~mask_u, lam_u,
+                            jnp.clip(lam_u + a_d * dl_u, 0.0, sl_cap))
         return (u_n, s_l_n, lam_l_n, s_u_n, lam_u_n)
 
     carry = jax.lax.fori_loop(

@@ -218,6 +218,51 @@ def make_rollout(n_periods: int, cfg: HectorConfig = DEFAULT_CONFIG,
     return jax.jit(fn)
 
 
+def make_rollout_whole_body(n_periods: int,
+                            cfg: HectorConfig = DEFAULT_CONFIG,
+                            batched: bool = False,
+                            with_disturbance: bool = False):
+    """Tier-2 rollout: same controller, full articulated plant
+    (hector/plant/whole_body.py).  The controller consumes the plant state
+    through the same observation fields; contact is emergent from the
+    penalty model rather than gait-scheduled, and ONLY the joint torques
+    act -- no commanded-wrench shortcut.
+    """
+    from .plant import whole_body as WB
+
+    def rollout(carry, plant: WB.WholeBodyState, cmd, disturbance=None):
+        terrain = (cmd.terrain_step_height, cmd.terrain_step_length)
+
+        def body(state, dist):
+            c, p = state
+            diag0 = None
+            for k in range(cfg.mpc.mpc_cadence):
+                obs = srb.PlantState(
+                    position=p.position, quat=p.quat, v_world=p.v_world,
+                    omega_world=p.omega_world, q=p.q, qd=p.qd,
+                    foot_anchor=jnp.zeros((2, 3), p.position.dtype),
+                    contact=jnp.zeros((2,), bool))
+                c, motor_cmd, wrench, stance, diag = controller_tick(
+                    c, obs, cmd, do_mpc=(k == 0), cfg=cfg)
+                if k == 0:
+                    diag0 = diag
+                p = WB.step(p, motor_cmd, cfg=cfg, terrain=terrain,
+                            disturbance=dist)
+            return (c, p), diag0
+
+        (carry, plant), diags = jax.lax.scan(
+            body, (carry, plant), disturbance, length=n_periods)
+        return carry, plant, diags
+
+    if with_disturbance:
+        fn = rollout
+    else:
+        fn = lambda carry, plant, cmd: rollout(carry, plant, cmd, None)
+    if batched:
+        fn = jax.vmap(fn)
+    return jax.jit(fn)
+
+
 def plan_step_fn(cfg: HectorConfig = DEFAULT_CONFIG):
     """The benchmark unit: ONE full batched MPC planning step
     (FK -> gait -> reference -> QP build -> PDIP solve -> wrench), i.e.
