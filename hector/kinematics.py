@@ -40,13 +40,15 @@ FK_SIDE = (1.0, -1.0)
 # side sign per leg in the IK's own convention (SwingLegController.cpp:160)
 IK_SIDE = (-1.0, 1.0)
 
-_OFFSETS = jnp.asarray(JOINT_OFFSETS)
+# NOTE: no module-level jnp arrays -- creating one at import time
+# would initialize the default backend before the caller can select
+# a platform (the CLI's --platform flag relies on this).
 
 
 def apply_joint_offsets(q):
     """Raw motor angles -> effective chain angles (+0.3pi, -0.6pi, +0.3pi on
     the knee chain; LegController.cpp:111-113)."""
-    return q + _OFFSETS.astype(q.dtype)
+    return q + jnp.asarray(JOINT_OFFSETS, q.dtype)
 
 
 def _chain_position(q5, side, a_x, a_y, a_z, b_y, l1, l2, l3):
@@ -142,10 +144,12 @@ def foot_rotation(q_eff):
 
     q_eff: (..., 2, 5) *effective* angles -- the caller controls how many
     offset corrections are applied.  NOTE the reference applies the +0.3pi /
-    -0.6pi / +0.3pi correction twice on the MPC path (once in
-    LegController.cpp:111-113 through the mutable reference to data[leg].q,
-    and again in SolverMPC.cpp:382-388), so mpc.py passes raw + 2*offsets.
-    Parity target: SolverMPC.cpp:428-433.
+    -0.6pi / +0.3pi correction THREE times on the MPC path: once through the
+    mutable reference to data[leg].q (LegController.cpp:111-113 via :51),
+    once in updateMPCIfNeeded whose joint_angles pointer aliases the
+    re-corrected local copy (ConvexMPCLocomotion.cpp:289-313), and once in
+    solve_mpc (SolverMPC.cpp:382-388) -- so mpc.py passes
+    data_q (= raw + 1x) + 2x more.  Parity target: SolverMPC.cpp:428-433.
     """
     q0, q1 = q_eff[..., 0], q_eff[..., 1]
     s234 = q_eff[..., 2] + q_eff[..., 3] + q_eff[..., 4]
@@ -203,4 +207,4 @@ def leg_ik(p_foot_b, q_data, cfg: HectorConfig = DEFAULT_CONFIG):
     th4 = -q_data[..., 3] - q_data[..., 2]
 
     q_des = jnp.stack([th0, th1, th2, th3, th4], axis=-1)
-    return q_des - _OFFSETS.astype(dtype)
+    return q_des - jnp.asarray(JOINT_OFFSETS, dtype)
