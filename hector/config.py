@@ -209,10 +209,15 @@ class PlantConfig:
 class SolverConfig:
     """Fixed-iteration batched PDIP QP solver settings (hector/qp/pdip.py)."""
 
-    # float32 converges (and freezes) by ~7 iterations on the Hector QP
-    # family; 12 leaves margin for hard scenarios (f64 parity tests use 25)
-    iterations: int = 12
+    # float32 converges to its ~6-8 mN accuracy floor by ~14 iterations on
+    # the Hector QP family (f64 parity tests use 25)
+    iterations: int = 14
+    # Mehrotra predictor-corrector for the dense/pure-JAX paths; the fused
+    # Pallas stage kernel always uses the fixed-sigma single-corrector step
+    # (one linear solve per iteration, nothing persisted but K/kff)
     mehrotra: bool = True
+    # centering parameter for the fixed-sigma path
+    sigma_fixed: float = 0.1
     frac_to_boundary: float = 0.99
     init_slack: float = 1.0
     init_dual: float = 1.0
@@ -220,8 +225,15 @@ class SolverConfig:
     big_threshold: float = 1e9
     # Tikhonov jitter added to the KKT diagonal for float32 robustness
     kkt_reg: float = 1e-8
-    # linear-algebra backend: 'auto' | 'xla' | 'pallas' | 'pallas_interpret'
-    # (auto = lane-vectorized pallas kernels on TPU, XLA elsewhere)
+    # solver backend:
+    #   'auto'             -> fused Riccati pallas kernel on TPU
+    #                         (hector/qp/pallas_riccati.py), pure-JAX
+    #                         stage-wise Riccati elsewhere
+    #   'riccati_pallas'   -> fused stage kernel (TPU)
+    #   'riccati'          -> pure-JAX stage-wise Riccati (any device)
+    #   'dense_auto'       -> condensed 120x120 PDIP, pallas linalg on TPU
+    #   'xla' | 'pallas' | 'pallas_interpret' -> condensed PDIP with that
+    #                         linear-algebra backend (legacy dense path)
     backend: str = 'auto'
 
 

@@ -30,15 +30,17 @@ accidents we may "fix" without breaking parity):
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .config import HectorConfig, DEFAULT_CONFIG, JOINT_OFFSETS
 from . import gait as G
 from .kinematics import foot_rotation
-from .qp.builder import build_qp
-from .qp import pdip
+from .qp.builder import build_qp, build_stage_qp
+from .qp import pdip, riccati
 
 
 class PlannerState(NamedTuple):
@@ -154,9 +156,34 @@ def mpc_update(state: PlannerState, est, leg_q, p_foot_w, v_des_robot,
     r_foot = foot_rotation(leg_q + 2.0 * offsets)
 
     r_body_world = jnp.swapaxes(est.r_body, -1, -2)  # body->world (rs.R)
-    qp = build_qp(x0, traj, r_body_world, r_foot, r_feet, i_body,
-                  gait_table, cfg.mpc)
-    sol = pdip.solve(qp, cfg.solver)
+    backend = cfg.solver.backend
+    if backend == 'auto':
+        # production default: fused Riccati kernel on accelerators,
+        # pure-JAX stage-wise Riccati on CPU (tests / parity oracles)
+        backend = ('riccati_pallas' if jax.default_backend() != 'cpu'
+                   else 'riccati')
+    if backend.startswith('riccati'):
+        # condensing-free stage-form path (hector/qp/riccati.py)
+        sqp = build_stage_qp(x0, traj, r_body_world, r_foot, r_feet, i_body,
+                             gait_table, cfg.mpc)
+        if 'pallas' in backend:
+            from .qp import pallas_riccati
+            solver = pallas_riccati.make_solver(
+                cfg.solver,
+                q_diag=tuple(cfg.mpc.weights) + (0.0,),
+                r_diag=tuple(cfg.mpc.alpha),
+                interpret=backend.endswith('interpret'))
+            sol = solver(sqp)
+        else:
+            sol = riccati.solve(sqp, cfg.solver)
+    else:
+        # legacy condensed-dense path (hector/qp/pdip.py)
+        scfg = cfg.solver
+        if backend == 'dense_auto':
+            scfg = dataclasses.replace(scfg, backend='auto')
+        qp = build_qp(x0, traj, r_body_world, r_foot, r_feet, i_body,
+                      gait_table, cfg.mpc)
+        sol = pdip.solve(qp, scfg)
 
     u0 = sol.u[:12]
     grf = u0[0:6].reshape(2, 3)      # world-frame ground reaction forces

@@ -78,3 +78,39 @@ def build_qp(x0, traj, r_body, r_foot, r_feet, i_body, gait_table,
     c_block = constraint_block(r_body, r_foot, cfg).astype(dtype)
     lb, ub = constraint_bounds(gait_table.astype(dtype), cfg)
     return QPData(h_mat, g_vec, c_block, lb, ub)
+
+
+def build_stage_qp(x0, traj, r_body, r_foot, r_feet, i_body, gait_table,
+                   cfg: MPCConfig):
+    """Assemble the SAME MPC problem in optimal-control (stage) form for the
+    condensing-free Riccati solver (hector/qp/riccati.py).
+
+    Skips the entire condensing pipeline (no A_qp/B_qp powers, no
+    B^T S B GEMM, no 120x120 H): the stage solver consumes the one-step
+    discrete dynamics directly.  Inputs as in :func:`build_qp`.
+    """
+    from .riccati import StageQPData
+
+    h = cfg.horizon
+    dtype = x0.dtype
+
+    i_world = r_body @ i_body @ jnp.swapaxes(r_body, -1, -2)
+    erate = euler_rate_matrix(x0[0:3])
+    a_ct, b_ct = ct_dynamics(i_world, jnp.asarray(cfg.mass, dtype), r_feet,
+                             erate)
+    dt = jnp.asarray(cfg.dt_mpc, dtype)
+    a_dt = jnp.eye(13, dtype=dtype) + dt * a_ct   # Acd (SolverMPC.cpp:145)
+    b_dt = dt * b_ct                              # Bcd (SolverMPC.cpp:146)
+
+    u_mask = input_mask(gait_table).astype(dtype)          # (h, 12)
+    xd = jnp.concatenate(
+        [traj, jnp.zeros(traj.shape[:-1] + (1,), dtype)], axis=-1)  # (h, 13)
+
+    q_diag = jnp.concatenate(
+        [jnp.asarray(cfg.weights, dtype), jnp.zeros((1,), dtype)])
+    r_diag = jnp.asarray(cfg.alpha, dtype)
+
+    c_block = constraint_block(r_body, r_foot, cfg).astype(dtype)
+    lb, ub = constraint_bounds(gait_table.astype(dtype), cfg)
+    return StageQPData(a_dt, b_dt, u_mask, x0, xd, q_diag, r_diag,
+                       c_block, lb, ub)

@@ -23,3 +23,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: the fused-kernel equivalence tests compile
+# large unrolled programs (minutes on CPU); cache across runs so only the
+# first invocation pays.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..",
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
