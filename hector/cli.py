@@ -1,11 +1,15 @@
 """Command-line driver: the ``main.cpp`` + roslaunch replacement.
 
     python -m hector run --gait walking --vx 0.5 --seconds 3
+    python -m hector run --world stairs --vx 0.4
     python -m hector batch --batch 4096 --seconds 2 --log out.jsonl
     python -m hector bench --batch 4096
+    python -m hector teleop                  # interactive wasd/jl teleop
+    python -m hector replay traj.csv         # offline trajectory (TO state)
 
-Instead of the reference's interactive keyboard teleop, commands come from
-flags or a scenario seed; results go to stdout/JSONL/PNG.
+Commands come from flags, a scenario seed, or the interactive teleop
+(hector/io/keyboard.py, the KeyBoard/CmdPanel equivalent); results go to
+stdout/JSONL/PNG.
 """
 
 from __future__ import annotations
@@ -25,15 +29,19 @@ def cmd_run(args):
     _cpu_backend(args)
     import numpy as np
     from . import runtime as RT
+    from . import worlds
     from .plant import srb
-    from .config import DEFAULT_CONFIG as CFG
+    from .config import DEFAULT_CONFIG
     from .io.metrics import summarize_rollout
 
+    CFG, terrain = worlds.apply(args.world, DEFAULT_CONFIG)
     plant = srb.init_plant_state(CFG)
     carry = RT.init_controller_carry(plant, CFG)
     cmd = (RT.standing_command() if args.gait == "standing"
            else RT.walking_command(vx=args.vx, vy=args.vy,
-                                   yaw_rate=args.yaw_rate))
+                                   yaw_rate=args.yaw_rate,
+                                   step_height=terrain.step_height,
+                                   step_length=terrain.step_length))
     n_periods = int(args.seconds / (CFG.mpc.dt * CFG.mpc.mpc_cadence))
     roll = RT.make_rollout(n_periods, cfg=CFG, batched=False)
     carry, plant, diags = roll(carry, plant, cmd)
@@ -78,6 +86,66 @@ def cmd_bench(args):
     bench.main()
 
 
+def cmd_teleop(args):
+    """Interactive closed-loop teleop (the KeyBoard/CmdPanel experience):
+    wasd/jl steer, space stops, q quits.  One MPC period (5 ms sim time)
+    per loop iteration; status line shows pose + command."""
+    _cpu_backend(args)
+    import jax
+    from . import runtime as RT
+    from . import worlds
+    from .plant import srb
+    from .config import DEFAULT_CONFIG
+    from .io import keyboard as KB
+
+    CFG, terrain = worlds.apply(args.world, DEFAULT_CONFIG)
+    plant = srb.init_plant_state(CFG)
+    carry = RT.init_controller_carry(plant, CFG)
+    roll = jax.jit(RT.make_rollout(1, cfg=CFG, batched=False))
+    value = KB.UserValue()
+    print("teleop: w/s=vx  j/l=vy  a/d=yaw  space=stop  q=quit")
+    with KB.RawTerminal() as term:
+        t = 0.0
+        while True:
+            key = term.poll_key(timeout=0.0)
+            if key in ("q", "\x03"):
+                break
+            if key:
+                value = KB.update_value(value, key)
+            vx, vy, yaw_rate = KB.value_to_command(value)
+            cmd = RT.walking_command(
+                vx=vx, vy=vy, yaw_rate=yaw_rate,
+                step_height=terrain.step_height,
+                step_length=terrain.step_length)
+            carry, plant, diags = roll(carry, plant, cmd)
+            t += CFG.mpc.dt * CFG.mpc.mpc_cadence
+            p = plant.position
+            print(f"\rt={t:7.2f}s  x={float(p[0]):+6.2f} "
+                  f"y={float(p[1]):+6.2f} z={float(p[2]):5.2f}  "
+                  f"cmd vx={vx:+5.2f} vy={vy:+5.2f} wz={yaw_rate:+5.2f}  ",
+                  end="", flush=True)
+    print()
+
+
+def cmd_replay(args):
+    """Offline-trajectory playback (the FSMState_TO capability): load a CSV
+    trajectory table and report tracking of its 12-dim state reference."""
+    _cpu_backend(args)
+    import numpy as np
+    from .io.trajectory import TrajectoryTable
+
+    table = TrajectoryTable.from_csv(args.csv)
+    times = np.asarray(table.times)
+    states = np.asarray(table.state_at(table.times))
+    print(json.dumps({
+        "rows": int(times.shape[0]),
+        "t_span": [float(times[0]), float(times[-1])],
+        "state_dim": int(states.shape[1]),
+        "first_state": [round(float(v), 6) for v in states[0]],
+        "final_state": [round(float(v), 6) for v in states[-1]],
+    }, indent=2))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="hector")
     p.add_argument("--platform", default=None,
@@ -91,8 +159,19 @@ def main(argv=None):
     r.add_argument("--vy", type=float, default=0.0)
     r.add_argument("--yaw-rate", type=float, default=0.0)
     r.add_argument("--seconds", type=float, default=3.0)
+    r.add_argument("--world", default="normal",
+                   help="world preset (hector/worlds.py): normal, earth, "
+                        "space, stairs, ...")
     r.add_argument("--plot", default=None, help="write tracking PNG")
     r.set_defaults(fn=cmd_run)
+
+    t = sub.add_parser("teleop", help="interactive keyboard teleop")
+    t.add_argument("--world", default="normal")
+    t.set_defaults(fn=cmd_teleop)
+
+    rp = sub.add_parser("replay", help="offline trajectory playback (TO)")
+    rp.add_argument("csv", help="trajectory CSV (time + 12-dim state + ...)")
+    rp.set_defaults(fn=cmd_replay)
 
     b = sub.add_parser("batch", help="batched randomized scenarios")
     b.add_argument("--batch", type=int, default=1024)

@@ -104,8 +104,16 @@ def apply_safety(mode, est: StateEstimate):
     """FSM::checkSafty (FSM.cpp:78-87): rBody(2,2) < 0.5 -> passive.
     Passive is absorbing (the reference's checkTransition for Passive has a
     missing-return bug, FSMState_Passive.cpp:33-39; behaviorally the robot
-    stays limp once fallen)."""
-    fallen = est.r_body[2, 2] < 0.5
+    stays limp once fallen).
+
+    Extended with NaN quarantine (SURVEY.md §5 failure-detection plan): a
+    scenario whose state went non-finite is frozen to passive so it cannot
+    poison batch-level reductions; per-lane, so the rest of the batch keeps
+    running."""
+    unhealthy = ~(jnp.isfinite(est.position).all()
+                  & jnp.isfinite(est.v_world).all()
+                  & jnp.isfinite(est.quat).all())
+    fallen = (est.r_body[2, 2] < 0.5) | unhealthy
     return jnp.where(fallen, MODE_PASSIVE, mode)
 
 

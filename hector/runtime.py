@@ -194,7 +194,8 @@ def make_rollout(n_periods: int, cfg: HectorConfig = DEFAULT_CONFIG,
         terrain = (cmd.terrain_step_height, cmd.terrain_step_length)
 
         def body(state, dist):
-            c, p = state
+            (c0, p0) = state
+            c, p = c0, p0
             diag0 = None
             for k in range(cfg.mpc.mpc_cadence):
                 c, motor_cmd, wrench, stance, diag = controller_tick(
@@ -203,6 +204,23 @@ def make_rollout(n_periods: int, cfg: HectorConfig = DEFAULT_CONFIG,
                     diag0 = diag
                 p = srb.step(p, motor_cmd, wrench, stance,
                              disturbance=dist, terrain=terrain, cfg=cfg)
+            # NaN quarantine (SURVEY.md §5 failure-detection plan): if this
+            # period drove the lane non-finite, freeze it at its last finite
+            # state and flip it passive so batch reductions stay clean and
+            # the other lanes are unaffected.
+            healthy = (jnp.isfinite(p.position).all()
+                       & jnp.isfinite(p.v_world).all()
+                       & jnp.isfinite(p.quat).all()
+                       & jnp.isfinite(p.q).all())
+            p = jax.tree.map(lambda new, old: jnp.where(healthy, new, old),
+                             p, p0)
+            mode = jnp.where(healthy, c.mode,
+                             jnp.asarray(C.MODE_PASSIVE, c.mode.dtype))
+            c = jax.tree.map(lambda new, old: jnp.where(healthy, new, old),
+                             c, c0)._replace(mode=mode, tick=c.tick)
+            diag0 = {**diag0,
+                     "fallen": diag0["fallen"] | ~healthy,
+                     "quarantined": ~healthy}
             return (c, p), diag0
 
         (carry, plant), diags = jax.lax.scan(
