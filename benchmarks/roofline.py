@@ -1,0 +1,110 @@
+"""Solver-kernel roofline report: measured vs speed-of-light.
+
+Times ONLY the fused Riccati interior-point kernel (the analog of the
+reference's `Timer` around the qpOASES call, SolverMPC.cpp:699,717) and
+compares against the analytic bytes/FLOPs model in
+hector/io/profiling.py.  Prints one JSON object.
+
+    python -m benchmarks.roofline [batch]
+
+Uses the bench.py measurement discipline: dependency-chained dispatches
+(each solve's x0 is perturbed by the previous solution) and a device->host
+value fetch as the sync point.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def nominal_problem(batch: int):
+    """A representative walking-phase StageQPData batch (one MPC period
+    into a 0.5 m/s walk), built by the production builder."""
+    from hector import runtime as RT
+    from hector import control as C, mpc as M
+    from hector.kinematics import foot_position, foot_rotation
+    from hector.qp.builder import build_stage_qp
+    from hector.gait import mpc_gait_table
+    from hector.config import DEFAULT_CONFIG as CFG, JOINT_OFFSETS
+    from hector.plant import srb
+
+    plant = srb.init_plant_state(CFG)
+    est = C.estimate_state(plant.position, plant.v_world, plant.quat,
+                           plant.omega_world)
+    dtype = plant.position.dtype
+    offsets = jnp.asarray(JOINT_OFFSETS, dtype)
+    p_leg = foot_position(plant.q, CFG)
+    p_foot_w = M.foot_positions_world(est, p_leg, CFG)
+    gait = mpc_gait_table(jnp.asarray(0, jnp.int32),
+                          jnp.asarray([0.0, 5.0], dtype),
+                          jnp.asarray([5.0, 5.0], dtype), 10).astype(dtype)
+    traj = M.build_reference_trajectory(
+        est, jnp.asarray([0.5, 0.0, 0.0], dtype), jnp.asarray(0.0, dtype),
+        jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype),
+        est.position[:2], CFG)
+    x0 = jnp.concatenate([est.rpy, est.position, est.omega_world,
+                          est.v_world, jnp.asarray([CFG.mpc.gravity], dtype)])
+    r_foot = foot_rotation(plant.q + 3.0 * offsets)
+    i_body = jnp.diag(jnp.asarray(CFG.robot.inertia_body, dtype))
+    r_feet = p_foot_w - est.position[None, :]
+    r_bw = jnp.swapaxes(est.r_body, -1, -2)
+    sqp = build_stage_qp(x0, traj, r_bw, r_foot, r_feet, i_body, gait,
+                         CFG.mpc)
+    # batch with per-lane x0 perturbations (value-unique lanes)
+    tile = lambda x: jnp.broadcast_to(x, (batch,) + x.shape)
+    sqp = jax.tree.map(tile, sqp)
+    dx = 1e-4 * jax.random.normal(jax.random.PRNGKey(0), (batch, 13), dtype)
+    return sqp._replace(x0=sqp.x0 + dx), CFG
+
+
+def main(batch: int = 4096, chain_len: int = 16):
+    from hector.qp import pallas_riccati, riccati
+    sqp, CFG = nominal_problem(batch)
+
+    on_tpu = jax.default_backend() != "cpu"
+    if on_tpu:
+        solver = lambda s: pallas_riccati.solve_batched(
+            s, CFG.solver, q_diag=tuple(CFG.mpc.weights) + (0.0,),
+            r_diag=tuple(CFG.mpc.alpha))
+    else:
+        solver = lambda s: riccati.solve_batched(s, CFG.solver)
+
+    @jax.jit
+    def chained(key, sqp):
+        noise = 1e-5 * jax.random.normal(key, sqp.x0.shape, sqp.x0.dtype)
+        sqp = sqp._replace(x0=sqp.x0 + noise)
+
+        def body(s, _):
+            sol = solver(s)
+            # chain: next problem's x0 depends on this solution
+            s = s._replace(x0=s.x0.at[..., 9:12].add(1e-9 * sol.u[..., :3]))
+            return s, None
+
+        s, _ = jax.lax.scan(body, sqp, None, length=chain_len)
+        return jnp.sum(s.x0)
+
+    _ = float(np.asarray(chained(jax.random.PRNGKey(99), sqp)))  # compile
+    times = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        _ = float(np.asarray(chained(jax.random.PRNGKey(rep), sqp)))
+        times.append(time.perf_counter() - t0)
+    dt = statistics.median(times) / chain_len
+    solves_per_s = batch / dt
+
+    from hector.io.profiling import roofline_report
+    rep = roofline_report(solves_per_s, iterations=CFG.solver.iterations)
+    rep.update(batch=batch, backend=jax.default_backend(),
+               solver="pallas_riccati" if on_tpu else "riccati(jax)")
+    print(json.dumps(rep))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 4096)

@@ -15,8 +15,13 @@ Provided:
   Gaussian noise -- the batched stand-in for Gazebo's sensor plugins;
 - ``filtered``: first-order IIR low-pass on the noisy velocity/position
   channels (the FirstOrderIIRFilter.h capability of the reference,
-  include/common/Math/FirstOrderIIRFilter.h) -- a pragmatic baseline an
-  EKF can later replace behind the same signature.
+  include/common/Math/FirstOrderIIRFilter.h);
+- ``kf_*``: a contact-aided linear Kalman filter over [p, v, p_feet]
+  (the classic legged-robot position/velocity KF that the reference's
+  PositionVelocityEstimator slot is designed to host -- its cheater
+  implementation copies ground truth at PositionVelocityEstimator.cpp:5-13,
+  while the container API anticipates real estimators).  Fixed shapes,
+  12-dim state / 14-dim measurement, batched with vmap.
 """
 
 from __future__ import annotations
@@ -84,3 +89,109 @@ def filtered(state: FilterState, pos_meas, vel_meas, quat_meas, gyro_meas,
     vel = state.vel + alpha * (vel_meas - state.vel)
     est = C.estimate_state(pos, vel, quat_meas, gyro_meas)
     return FilterState(pos=pos, vel=vel), est
+
+
+# ---------------------------------------------------------------------------
+# Contact-aided linear Kalman filter
+#
+# State x = [p (3), v (3), p_f0 (3), p_f1 (3)]  (world frame, 12-dim).
+# Process: p' = p + dt v,  v' = v + dt a  (a = world-frame acceleration
+# input, gravity-compensated by the caller), feet stationary.
+# Measurements (14-dim):
+#   rows 0:6   per-leg kinematic relative foot position  p_f_i - p =
+#              R_bw (hip_i + p_leg_i)
+#   rows 6:12  per-leg velocity  v = -R_bw (J q_dot + omega x rel_i)
+#              (valid when the foot is planted)
+#   rows 12:14 per-leg foot height  p_f_i,z = ground height
+# Swing legs stay in the filter at fixed shape: their measurement noise and
+# foot-state process noise are inflated by 1/trust, the standard
+# contact-gating trick (static shapes; no per-lane branching).
+
+
+class KFNoise(NamedTuple):
+    q_pos: float = 0.0004      # process noise densities (per sqrt(dt))
+    q_vel: float = 0.02
+    q_foot: float = 0.0004
+    r_rel: float = 0.001       # kinematic relative-position measurement
+    r_vel: float = 0.05        # kinematic velocity measurement
+    r_height: float = 0.001    # foot-height measurement
+    swing_inflation: float = 1e6
+
+
+class KFState(NamedTuple):
+    x: jnp.ndarray             # (12,)
+    cov: jnp.ndarray           # (12, 12)
+
+
+def _kf_h() -> jnp.ndarray:
+    import numpy as _np
+    h = _np.zeros((14, 12))
+    for i in range(2):
+        h[3 * i:3 * i + 3, 0:3] = -_np.eye(3)            # -p
+        h[3 * i:3 * i + 3, 6 + 3 * i:9 + 3 * i] = _np.eye(3)  # +p_f_i
+        h[6 + 3 * i:9 + 3 * i, 3:6] = _np.eye(3)          # v
+        h[12 + i, 8 + 3 * i] = 1.0                        # p_f_i,z
+    return jnp.asarray(h)
+
+
+def kf_init(position, v_world, p_feet_world, cov0: float = 0.01) -> KFState:
+    """p_feet_world: (2, 3) initial world foot positions."""
+    x = jnp.concatenate([position, v_world, p_feet_world.reshape(6)])
+    return KFState(x=x, cov=cov0 * jnp.eye(12, dtype=x.dtype))
+
+
+def kf_update(kf: KFState, accel_world, r_body, rel_body, rel_vel_body,
+              omega_body, contact, dt, ground_z=0.0,
+              noise: KFNoise = KFNoise()) -> KFState:
+    """One predict+update step.
+
+    accel_world: (3,) gravity-compensated world acceleration input;
+    r_body: (3,3) world->body; rel_body: (2,3) body-frame trunk->foot
+    vectors (hip offset + FK foot position); rel_vel_body: (2,3) their
+    body-frame rates (J q_dot); omega_body: (3,); contact: (2,) in [0,1];
+    ground_z: scalar or (2,) terrain height under each foot.
+    """
+    dtype = kf.x.dtype
+    x, p_cov = kf.x, kf.cov
+
+    # --- predict ---
+    a_mat = jnp.eye(12, dtype=dtype).at[0:3, 3:6].set(dt * jnp.eye(3, dtype=dtype))
+    x = a_mat @ x + jnp.concatenate(
+        [0.5 * dt * dt * accel_world, dt * accel_world,
+         jnp.zeros((6,), dtype)])
+    trust = jnp.clip(contact, 0.0, 1.0)
+    foot_q = noise.q_foot * (
+        1.0 + (noise.swing_inflation - 1.0) * (1.0 - trust))
+    q_diag = jnp.concatenate([
+        jnp.full((3,), noise.q_pos, dtype), jnp.full((3,), noise.q_vel, dtype),
+        jnp.repeat(foot_q, 3)])
+    p_cov = a_mat @ p_cov @ a_mat.T + dt * jnp.diag(q_diag)
+
+    # --- measurements ---
+    rel_w = rel_body @ r_body                            # (2,3) world
+    relv_w = (rel_vel_body + jnp.cross(
+        jnp.broadcast_to(omega_body, rel_body.shape), rel_body)) @ r_body
+    y = jnp.concatenate([
+        rel_w.reshape(6), (-relv_w).reshape(6),
+        jnp.broadcast_to(jnp.asarray(ground_z, dtype), (2,))])
+    infl = 1.0 + (noise.swing_inflation - 1.0) * (1.0 - trust)
+    r_diag = jnp.concatenate([
+        jnp.repeat(noise.r_rel * infl, 3),
+        jnp.repeat(noise.r_vel * infl, 3),
+        noise.r_height * infl])
+
+    h = _kf_h().astype(dtype)
+    innov = y - h @ x
+    s = h @ p_cov @ h.T + jnp.diag(r_diag)
+    k_gain = jnp.linalg.solve(s, h @ p_cov).T            # (12, 14)
+    x = x + k_gain @ innov
+    p_cov = (jnp.eye(12, dtype=dtype) - k_gain @ h) @ p_cov
+    p_cov = 0.5 * (p_cov + p_cov.T)
+    return KFState(x=x, cov=p_cov)
+
+
+def kf_estimate(kf: KFState, quat_meas, gyro_meas) -> C.StateEstimate:
+    """KF posterior + orientation measurements -> StateEstimate (the
+    orientation channel stays a separate estimator, as in the reference's
+    container split)."""
+    return C.estimate_state(kf.x[0:3], kf.x[3:6], quat_meas, gyro_meas)

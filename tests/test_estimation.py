@@ -41,3 +41,76 @@ def test_filter_reduces_noise():
         errs_filt.append(
             np.linalg.norm(np.asarray(est.v_world - plant.v_world)))
     assert np.mean(errs_filt[20:]) < 0.55 * np.mean(errs_raw[20:])
+
+
+def test_kf_converges_standing():
+    """Contact-aided KF: from a biased initial guess, kinematic foot
+    measurements pull p and v back to truth while standing."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from hector import estimation as E
+
+    p_true = jnp.asarray([0.3, -0.1, 0.55])
+    feet = jnp.asarray([[0.3, 0.04, 0.0], [0.3, -0.18, 0.0]])
+    r_body = jnp.eye(3)
+    rel_body = feet - p_true[None, :]       # identity orientation
+    kf = E.kf_init(p_true + jnp.asarray([0.2, -0.2, 0.1]),
+                   jnp.asarray([0.5, 0.0, 0.0]), feet)
+
+    def step(kf, _):
+        kf = E.kf_update(kf, jnp.zeros(3), r_body, rel_body,
+                         jnp.zeros((2, 3)), jnp.zeros(3),
+                         jnp.ones(2), dt=0.001)
+        return kf, None
+
+    kf, _ = jax.lax.scan(step, kf, None, length=400)
+    # observable quantities converge: velocity, height, foot-relative pose
+    assert float(jnp.abs(kf.x[3:6]).max()) < 2e-2
+    assert float(abs(kf.x[2] - p_true[2])) < 2e-3
+    rel_est = kf.x[6:12].reshape(2, 3) - kf.x[0:3][None, :]
+    assert float(jnp.abs(rel_est - rel_body).max()) < 2e-3
+    # absolute xy is a gauge mode anchored by the foot states: the error
+    # shrinks (2 legs vs 1 body -> ~1/3 of the initial offset remains)
+    err0, err = 0.2, float(jnp.abs(kf.x[0:2] - p_true[0:2]).max())
+    assert err < 0.5 * err0
+
+
+def test_kf_swing_leg_is_distrusted():
+    """A swing leg's bogus kinematics must not corrupt the estimate."""
+    import jax
+    import jax.numpy as jnp
+    from hector import estimation as E
+
+    p_true = jnp.asarray([0.0, 0.0, 0.55])
+    feet = jnp.asarray([[0.0, 0.04, 0.0], [0.0, -0.18, 0.0]])
+    rel = feet - p_true[None, :]
+    # leg 1 in swing, reporting garbage kinematics
+    rel_bad = rel.at[1].add(jnp.asarray([0.5, 0.5, 0.3]))
+    kf = E.kf_init(p_true, jnp.zeros(3), feet)
+
+    def step(kf, _):
+        kf = E.kf_update(kf, jnp.zeros(3), jnp.eye(3), rel_bad,
+                         jnp.zeros((2, 3)), jnp.zeros(3),
+                         jnp.asarray([1.0, 0.0]), dt=0.001)
+        return kf, None
+
+    kf, _ = jax.lax.scan(step, kf, None, length=300)
+    assert float(jnp.abs(kf.x[0:3] - p_true).max()) < 5e-3
+
+
+def test_kf_batched_vmap():
+    import jax
+    import jax.numpy as jnp
+    from hector import estimation as E
+
+    B = 16
+    p = jnp.tile(jnp.asarray([0.0, 0.0, 0.55]), (B, 1))
+    feet = jnp.tile(jnp.asarray([[0.0, 0.04, 0.0], [0.0, -0.18, 0.0]]),
+                    (B, 1, 1))
+    kf = jax.vmap(E.kf_init)(p, jnp.zeros((B, 3)), feet)
+    upd = jax.vmap(lambda k, r: E.kf_update(
+        k, jnp.zeros(3), jnp.eye(3), r, jnp.zeros((2, 3)), jnp.zeros(3),
+        jnp.ones(2), dt=0.001))
+    kf = upd(kf, feet - p[:, None, :])
+    assert kf.x.shape == (B, 12) and kf.cov.shape == (B, 12, 12)
