@@ -129,12 +129,21 @@ def cmd_teleop(args):
 
 def cmd_replay(args):
     """Offline-trajectory playback (the FSMState_TO capability): load a CSV
-    trajectory table and report tracking of its 12-dim state reference."""
+    trajectory table; --closed-loop drives the full controller+plant from it
+    and reports tracking errors, otherwise summarize the table."""
     _cpu_backend(args)
     import numpy as np
-    from .io.trajectory import TrajectoryTable
+    from .io.trajectory import TrajectoryTable, closed_loop_replay
 
     table = TrajectoryTable.from_csv(args.csv)
+    if args.closed_loop:
+        report, diags = closed_loop_replay(table, seconds=args.seconds)
+        print(json.dumps(report, indent=2))
+        if args.plot:
+            from .io.viz import plot_tracking
+            plot_tracking(diags, path=args.plot)
+            print(f"wrote {args.plot}")
+        return
     times = np.asarray(table.times)
     states = np.asarray(table.state_at(table.times))
     print(json.dumps({
@@ -171,6 +180,12 @@ def main(argv=None):
 
     rp = sub.add_parser("replay", help="offline trajectory playback (TO)")
     rp.add_argument("csv", help="trajectory CSV (time + 12-dim state + ...)")
+    rp.add_argument("--closed-loop", action="store_true",
+                    help="drive the controller+plant from the table and "
+                         "report tracking errors")
+    rp.add_argument("--seconds", type=float, default=None,
+                    help="override replay duration")
+    rp.add_argument("--plot", default=None, help="write tracking PNG")
     rp.set_defaults(fn=cmd_replay)
 
     b = sub.add_parser("batch", help="batched randomized scenarios")

@@ -203,6 +203,13 @@ class PlantConfig:
     joint_vel_limit: float = 21.0     # rad/s (const.xacro)
     # first-order joint-servo tracking for kinematic swing legs
     joint_tracking_tau: float = 0.02
+    # unilateral ground contact (penalty spring-damper on penetration; the
+    # batched analog of the ODE quick-solver contact in
+    # unitree_gazebo/worlds/normal.world)
+    contact_kp: float = 3.0e4         # N/m   (static droop mg/kp ~ 4.5 mm)
+    contact_kd: float = 500.0         # N s/m (zeta ~ 0.4 at 13.856 kg)
+    trunk_radius: float = 0.10        # m, trunk collision backstop
+    ground_mu: float = 1.0            # ground friction (plant-side cap)
 
 
 @dataclasses.dataclass(frozen=True)

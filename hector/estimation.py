@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from . import control as C
+from . import math as hm
 
 
 class SensorNoise(NamedTuple):
@@ -195,3 +196,79 @@ def kf_estimate(kf: KFState, quat_meas, gyro_meas) -> C.StateEstimate:
     orientation channel stays a separate estimator, as in the reference's
     container split)."""
     return C.estimate_state(kf.x[0:3], kf.x[3:6], quat_meas, gyro_meas)
+
+
+# ---------------------------------------------------------------------------
+# Unified estimator interface for the closed loop
+#
+# The rollout (hector/runtime.py) is parameterized over an estimator KIND
+# (a static string, so no per-lane branching reaches XLA) and carries one
+# EstimatorState pytree -- the batched analog of the reference's
+# StateEstimatorContainer (main.cpp:42-47 wires the cheater pair; the
+# container API anticipates real estimators,
+# include/common/StateEstimatorContainer.h:110-137).
+
+KINDS = ('cheater', 'filtered', 'kf')
+
+
+class EstimatorState(NamedTuple):
+    """One carry covering every estimator kind (unused fields ride along;
+    they are tiny compared to the planner carry)."""
+
+    key: jnp.ndarray           # PRNG key for the sensor noise model
+    filt: FilterState
+    kf: KFState
+
+
+def _rel_feet_body(plant, cfg):
+    """Trunk->foot vectors and their rates in the body frame, from joint
+    encoders (the measurements a real estimator has: q, qd)."""
+    from .kinematics import foot_position, leg_jacobians
+    dtype = plant.position.dtype
+    hip_yaw = jnp.asarray(
+        [cfg.robot.hip_yaw_location(0), cfg.robot.hip_yaw_location(1)], dtype)
+    rel = hip_yaw + foot_position(plant.q, cfg)
+    _, j_f = leg_jacobians(plant.q, cfg)
+    rel_vel = jnp.einsum('lij,lj->li', j_f, plant.qd)
+    return rel, rel_vel
+
+
+def est_init(plant, key, cfg) -> EstimatorState:
+    rel, _ = _rel_feet_body(plant, cfg)
+    r_body = jnp.swapaxes(hm.quat_to_rot(plant.quat), -1, -2)
+    p_feet_w = plant.position[None, :] + rel @ r_body
+    return EstimatorState(
+        key=key,
+        filt=init_filter_state(plant),
+        kf=kf_init(plant.position, plant.v_world, p_feet_w))
+
+
+def est_update(kind: str, state: EstimatorState, plant, cfg,
+               noise: SensorNoise = SensorNoise()):
+    """One 1 kHz estimator tick.  kind is STATIC ('cheater' | 'filtered' |
+    'kf'); returns (new EstimatorState, StateEstimate)."""
+    if kind not in KINDS:
+        raise ValueError(f'unknown estimator kind {kind!r}; expected {KINDS}')
+    if kind == 'cheater':
+        return state, cheater(plant)
+
+    key, sub = jax.random.split(state.key)
+    pos_m, vel_m, quat_m, gyro_m = noisy_sensors(sub, plant, noise)
+
+    if kind == 'filtered':
+        filt, est = filtered(state.filt, pos_m, vel_m, quat_m, gyro_m)
+        return state._replace(key=key, filt=filt), est
+
+    # kind == 'kf'
+    rel, rel_vel = _rel_feet_body(plant, cfg)
+    r_body = jnp.swapaxes(hm.quat_to_rot(quat_m), -1, -2)
+    omega_body = r_body @ gyro_m
+    kf = kf_update(
+        state.kf,
+        accel_world=jnp.zeros(3, plant.position.dtype),
+        r_body=r_body, rel_body=rel, rel_vel_body=rel_vel,
+        omega_body=omega_body,
+        contact=plant.contact.astype(plant.position.dtype),
+        dt=cfg.plant.dt)
+    est = kf_estimate(kf, quat_m, gyro_m)
+    return state._replace(key=key, kf=kf), est

@@ -17,6 +17,7 @@ the format: col 0 = time [s], cols 1:13 = the 12-dim MPC state
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -44,6 +45,82 @@ class TrajectoryTable:
     def state_at(self, t):
         """The 12-dim reference state at time t (batched over t)."""
         return self.row_at(t)[..., 1:13]
+
+
+def command_schedule(table: "TrajectoryTable", n_periods: int,
+                     dt_period: float):
+    """Convert a trajectory table into a per-period rollout schedule
+    (cmd_t, mode_cmd_t) for ``runtime.make_rollout(with_schedule=True)``.
+
+    The table's 12-dim state rows [rpy, p, omega, v] (world frame, the
+    reference's trajAll layout) become teleop-style commands: body-frame
+    vx/vy from the world velocity rotated by the row's yaw, yaw_rate from
+    omega_z, roll/pitch targets from the row's rpy.  This completes what
+    FSMState_TO leaves as a stub (FSMState_TO.cpp:27-40): the table actually
+    DRIVES the walking controller.
+    """
+    from .. import runtime as RT
+
+    t = jnp.arange(n_periods) * dt_period
+    # float32: the rollout/solver pipeline is f32; tables loaded from CSV
+    # are f64 under x64 test configs
+    states = table.state_at(t).astype(jnp.float32)   # (n, 12)
+    yaw = states[:, 2]
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    vx_b = cy * states[:, 9] + sy * states[:, 10]
+    vy_b = -sy * states[:, 9] + cy * states[:, 10]
+    n = n_periods
+    walk = RT.walking_command()
+    tile = lambda x: jnp.broadcast_to(x, (n,) + x.shape)
+    cmd_t = RT.ScenarioCommand(
+        vx=vx_b, vy=vy_b, yaw_rate=states[:, 8],
+        roll=states[:, 0], pitch=states[:, 1],
+        gait_offsets=tile(walk.gait_offsets),
+        gait_durations=tile(walk.gait_durations),
+        terrain_step_height=tile(walk.terrain_step_height),
+        terrain_step_length=tile(walk.terrain_step_length))
+    mode_t = jnp.full((n,), RT.MODE_CMD_NONE, jnp.int32)
+    return cmd_t, mode_t
+
+
+def closed_loop_replay(table: "TrajectoryTable", cfg=None, seconds=None):
+    """Closed-loop trajectory playback: drive the full controller+plant
+    rollout from the table and report tracking errors against its state
+    reference.  Returns (report dict, diags).  The parity harness SURVEY.md
+    §2.1 planned for the TO state."""
+    from .. import runtime as RT
+    from ..plant import srb
+    from ..config import DEFAULT_CONFIG
+
+    cfg = cfg or DEFAULT_CONFIG
+    dt_period = cfg.mpc.dt * cfg.mpc.mpc_cadence
+    t_end = float(table.times[-1]) if seconds is None else seconds
+    n_periods = max(1, int(t_end / dt_period))
+    cmd_t, mode_t = command_schedule(table, n_periods, dt_period)
+
+    plant = srb.init_plant_state(cfg)
+    carry = RT.init_controller_carry(plant, cfg)
+    roll = RT.make_rollout(n_periods, cfg=cfg, batched=False,
+                           with_schedule=True)
+    base = jax.tree.map(lambda x: x[0], cmd_t)
+    carry, plant, diags = roll(carry, plant, base, (cmd_t, mode_t))
+
+    t = np.arange(n_periods) * dt_period
+    ref = np.asarray(table.state_at(jnp.asarray(t)))
+    xy = np.asarray(diags['xy'])
+    z = np.asarray(diags['height'])
+    pos_err = np.linalg.norm(xy - ref[:, 3:5], axis=-1)
+    report = dict(
+        rows=int(np.asarray(table.times).shape[0]),
+        periods=n_periods,
+        seconds=round(t_end, 3),
+        fallen=bool(np.asarray(diags['fallen']).any()),
+        pos_err_mean=round(float(pos_err.mean()), 4),
+        pos_err_final=round(float(pos_err[-1]), 4),
+        pos_err_max=round(float(pos_err.max()), 4),
+        height_err_mean=round(float(np.abs(z - ref[:, 5]).mean()), 4),
+    )
+    return report, diags
 
 
 def write_csv(path: str, times, states, payload=None) -> None:

@@ -20,7 +20,15 @@ Modeling tier (documented, deliberately matched to the MPC's own fidelity):
 - swing legs are kinematic: joints track their PD targets through a
   first-order servo with the URDF's 21 rad/s velocity limit;
 - contact follows the gait schedule (the MPC's own assumption); touchdown
-  re-anchors the foot at the current FK position with z = 0.
+  re-anchors the foot at the current FK position with z = 0;
+- ground reactions are UNILATERAL: beyond the commanded wrench (whose Fz is
+  already >= 0 by the MPC cone), stance feet get a clipped spring-damper
+  normal force on FK-foot ground penetration and a trunk-sphere backstop
+  keeps fallen bodies from tunnelling -- the batched analog of the ODE
+  contact in unitree_gazebo/worlds/normal.world (max_step_size 0.001,
+  penalty-style quick solver).  Nothing can "hang" from a scheduled
+  contact: zero commanded force means the body falls until a physical
+  contact force stops it (tests/test_plant_contact.py).
 
 The actuator law is the open reimplementation of the closed-source
 ``computeTorque`` servo (unitree_joint_control_tool.h: tau =
@@ -130,17 +138,55 @@ def step(state: PlantState, cmd, wrench_world, contact_sched,
                         jnp.maximum(tau_peak, 1e-6))
     wrench_eff = wrench_world * (scale * in_contact)[:, None]
 
+    # --- unilateral ground contact (replaces the r1 z-freeze hack) ---
+    # spring-damper normal force, CLIPPED at zero (no adhesion), on the
+    # FK-foot's penetration below local ground; active only for scheduled
+    # stance feet.  The foot velocity is approximated by the body velocity
+    # (the stance foot is quasi-static relative to its anchor).
+    rot = hm.quat_to_rot(state.quat)                   # body->world
+    hip_yaw0 = jnp.asarray(
+        [cfg.robot.hip_yaw_location(0), cfg.robot.hip_yaw_location(1)], dtype)
+    fk_foot0 = state.position[None, :] + \
+        (hip_yaw0 + foot_position(state.q, cfg)) @ rot.T
+    if terrain is not None:
+        foot_ground0 = terrain_height(fk_foot0[:, 0], terrain[0], terrain[1])
+        trunk_ground = terrain_height(state.position[0], terrain[0],
+                                      terrain[1])
+    else:
+        foot_ground0 = jnp.zeros((2,), dtype)
+        trunk_ground = jnp.asarray(0.0, dtype)
+    pen = foot_ground0 - fk_foot0[:, 2]
+    n_foot = jnp.maximum(
+        0.0, pcfg.contact_kp * pen - pcfg.contact_kd * state.v_world[2])
+    n_foot = n_foot * in_contact * (pen > 0)
+
+    # trunk-sphere backstop: a fallen/limp body rests on the ground instead
+    # of tunnelling (the trunk collision geometry of the URDF)
+    pen_trunk = trunk_ground + pcfg.trunk_radius - state.position[2]
+    n_trunk = jnp.maximum(
+        0.0, pcfg.contact_kp * pen_trunk
+        - pcfg.contact_kd * state.v_world[2]) * (pen_trunk > 0)
+
+    # plant-side friction clamp on each foot's total shear (the commanded
+    # GRF already satisfies the MPC cone; this enforces the GROUND's limit
+    # against out-of-cone residuals, mu from the world physics)
+    fz_tot = wrench_eff[:, 2] + n_foot
+    shear = wrench_eff[:, 0:2]
+    shear_mag = jnp.linalg.norm(shear, axis=-1)
+    shear_cap = pcfg.ground_mu * jnp.maximum(fz_tot, 0.0)
+    shear_scale = jnp.minimum(1.0, shear_cap / jnp.maximum(shear_mag, 1e-9))
+    wrench_eff = wrench_eff.at[:, 0:2].multiply(shear_scale[:, None])
+
     # --- base dynamics ---
-    grf = wrench_eff[:, 0:3]
+    grf = wrench_eff[:, 0:3].at[:, 2].add(n_foot)
     grm = wrench_eff[:, 3:6]
-    force = jnp.sum(grf, axis=0)
+    force = jnp.sum(grf, axis=0).at[2].add(n_trunk)
     r_arm = state.foot_anchor - state.position[None, :]
     torque = jnp.sum(jnp.cross(r_arm, grf) + grm, axis=0)
     if disturbance is not None:
         force = force + disturbance[0:3]
         torque = torque + disturbance[3:6]
 
-    rot = hm.quat_to_rot(state.quat)                   # body->world
     i_body = jnp.diag(jnp.asarray(pcfg.inertia_body, dtype))
     i_world = rot @ i_body @ rot.T
     omega = state.omega_world
@@ -151,16 +197,6 @@ def step(state: PlantState, cmd, wrench_world, contact_sched,
     p_new = state.position + dt * v_new                # semi-implicit Euler
     omega_new = omega + dt * omega_dot
     quat_new = hm.quat_integrate(state.quat, omega_new, dt)
-
-    # ground plane: don't fall through when standing (simple unilateral stop)
-    if terrain is not None:
-        ground_z = terrain_height(p_new[0], terrain[0], terrain[1])
-    else:
-        ground_z = jnp.asarray(0.0, dtype)
-    any_contact = jnp.any(in_contact)
-    p_new = p_new.at[2].set(
-        jnp.where(any_contact & (p_new[2] - ground_z < 0.05),
-                  state.position[2], p_new[2]))
 
     # --- joint kinematics (first-order servo tracking) ---
     # swing legs track the PD targets; stance legs track the IK of the

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from .config import HectorConfig, DEFAULT_CONFIG, JOINT_OFFSETS
 from . import gait as G
 from . import control as C
+from . import estimation as EST
 from . import mpc as M
 from . import swing as SW
 from .plant import srb
@@ -76,12 +77,19 @@ class ControllerCarry(NamedTuple):
     planner: M.PlannerState
     swing: SW.SwingState
     command: C.CommandState
+    est: EST.EstimatorState    # pluggable-estimator carry (cheater ignores)
 
 
 def init_controller_carry(plant: srb.PlantState,
-                          cfg: HectorConfig = DEFAULT_CONFIG):
-    """firstRun initialization (ConvexMPCLocomotion.cpp:66-111)."""
+                          cfg: HectorConfig = DEFAULT_CONFIG,
+                          key=None):
+    """firstRun initialization (ConvexMPCLocomotion.cpp:66-111).
+
+    key: PRNG key seeding the estimator's sensor-noise stream (per lane;
+    unused by the default cheater estimator)."""
     dtype = plant.position.dtype
+    if key is None:
+        key = jax.random.PRNGKey(0)
     est = C.estimate_state(plant.position, plant.v_world, plant.quat,
                            plant.omega_world)
     p_leg = foot_position(plant.q, cfg)
@@ -91,28 +99,75 @@ def init_controller_carry(plant: srb.PlantState,
         mode=jnp.asarray(C.MODE_WALKING, jnp.int32),
         planner=M.init_planner_state(plant.position, dtype),
         swing=SW.init_swing_state(p_foot_w, dtype),
-        command=C.CommandState(yaw_des=jnp.asarray(0.0, dtype)))
+        command=C.CommandState(yaw_des=jnp.asarray(0.0, dtype)),
+        est=EST.est_init(plant, key, cfg))
 
 
 N_SEGMENTS = 10  # gait table length == MPC horizon (GaitGenerator ctor args)
 
+# user mode commands (the batched analog of UserCommand keys,
+# src/interface/KeyBoard.cpp:31-93 / FSM checkTransition):
+#   MODE_CMD_NONE: no transition request this period
+#   C.MODE_PASSIVE (0): L2_B -> passive (FSMState_Walking.cpp:49-51)
+#   C.MODE_WALKING (1): L1_X -> walking (FSMState_Passive.cpp:33-39; the
+#     reference's checkTransition is missing the `return` -- undefined
+#     behavior in C++, practically the robot stays limp.  We implement the
+#     INTENDED transition and document the bug.)
+MODE_CMD_NONE = -1
+
+
+def reenter_walking(carry: ControllerCarry, plant: srb.PlantState,
+                    cfg: HectorConfig = DEFAULT_CONFIG) -> ControllerCarry:
+    """FSMState_Walking::enter() + ConvexMPCLocomotion firstRun
+    (ConvexMPCLocomotion.cpp:66-111) as a pure re-initialization of the
+    planner/swing carry at the CURRENT plant state -- applied per lane when
+    a mode command flips it back to walking."""
+    dtype = plant.position.dtype
+    est = C.estimate_state(plant.position, plant.v_world, plant.quat,
+                           plant.omega_world)
+    p_leg = foot_position(plant.q, cfg)
+    p_foot_w = M.foot_positions_world(est, p_leg, cfg)
+    return carry._replace(
+        planner=M.init_planner_state(plant.position, dtype),
+        swing=SW.init_swing_state(p_foot_w, dtype),
+        command=C.CommandState(yaw_des=jnp.asarray(0.0, dtype)))
+
+
+def apply_mode_command(carry: ControllerCarry, plant: srb.PlantState,
+                       mode_cmd, cfg: HectorConfig = DEFAULT_CONFIG):
+    """The FSM NORMAL/CHANGE step (FSM.cpp:37-54) as a per-lane mode update:
+    a non-negative mode_cmd requests that state; entering WALKING re-runs
+    the walking enter() initialization (exit()/enter() pair of the
+    reference's CHANGE branch)."""
+    req = jnp.asarray(mode_cmd, carry.mode.dtype)
+    new_mode = jnp.where(req >= 0, req, carry.mode)
+    entering_walk = (new_mode == C.MODE_WALKING) & \
+        (carry.mode != C.MODE_WALKING)
+    fresh = reenter_walking(carry, plant, cfg)
+    merged = jax.tree.map(
+        lambda f, c: jnp.where(entering_walk, f, c), fresh, carry)
+    return merged._replace(mode=new_mode)
+
 
 def controller_tick(carry: ControllerCarry, plant: srb.PlantState,
                     cmd: ScenarioCommand, do_mpc: bool,
-                    cfg: HectorConfig = DEFAULT_CONFIG):
+                    cfg: HectorConfig = DEFAULT_CONFIG,
+                    estimator: str = 'cheater'):
     """One 1 kHz FSM tick (FSM::run -> FSMState_Walking::run,
     FSM.cpp:28-57, FSMState_Walking.cpp:26-41).
 
     do_mpc is STATIC: the rollout calls the True variant every 5th tick.
+    estimator is STATIC ('cheater' | 'filtered' | 'kf',
+    hector/estimation.py): the controller consumes ONLY the estimate --
+    plant ground truth never leaks past this line for non-cheater kinds.
     Returns (carry', MotorCommand, wrench_world (2,6), stance_mask (2,),
     diagnostics dict).
     """
     dtype = plant.position.dtype
     offsets = jnp.asarray(JOINT_OFFSETS, dtype)
 
-    # --- estimator passthrough (cheater estimators) ---
-    est = C.estimate_state(plant.position, plant.v_world, plant.quat,
-                           plant.omega_world)
+    # --- state estimation (StateEstimatorContainer::run analog) ---
+    est_state, est = EST.est_update(estimator, carry.est, plant, cfg)
     mode = C.apply_safety(carry.mode, est)
 
     # --- LegController::updateData (+ the data.q mutation quirk) ---
@@ -170,38 +225,61 @@ def controller_tick(carry: ControllerCarry, plant: srb.PlantState,
 
     new_carry = ControllerCarry(
         tick=carry.tick + 1, mode=mode, planner=planner,
-        swing=swing_state, command=command)
+        swing=swing_state, command=command, est=est_state)
     diag.update(height=est.position[2], vx=est.v_world[0],
+                xy=est.position[0:2],
                 fallen=(mode == C.MODE_PASSIVE))
     return new_carry, motor_cmd, wrench_world, stance_mask, diag
 
 
 def make_rollout(n_periods: int, cfg: HectorConfig = DEFAULT_CONFIG,
-                 batched: bool = True, with_disturbance: bool = False):
+                 batched: bool = True, with_disturbance: bool = False,
+                 estimator: str = 'cheater', with_schedule: bool = False):
     """Build a jitted rollout of ``n_periods`` MPC periods (5 ticks each).
 
-    Returns rollout(carry, plant, cmd[, disturbance]) -> (carry', plant',
-    diagnostics); diagnostics are stacked over periods.  With batched=True
-    all inputs carry a leading scenario axis (vmap); shard the inputs with
-    NamedSharding to scale across devices (hector/parallel.py).
+    Returns rollout(carry, plant, cmd[, disturbance][, schedule]) ->
+    (carry', plant', diagnostics); diagnostics are stacked over periods.
+    With batched=True all inputs carry a leading scenario axis (vmap); shard
+    the inputs with NamedSharding to scale across devices
+    (hector/parallel.py).
 
     with_disturbance=True adds a (n_periods, 6) world-wrench input applied
     on every tick of its period (push-recovery testing; the analog of
     external_force teleop, unitree_controller/src/external_force.cpp).
+
+    with_schedule=True adds a per-period command schedule
+    ``(cmd_t, mode_cmd_t)``: cmd_t is a ScenarioCommand pytree with a
+    leading (n_periods,) axis that OVERRIDES ``cmd`` each period (teleop
+    trajectories, mid-run gait switching via its gait_offsets/durations),
+    and mode_cmd_t is a (n_periods,) int32 of user mode commands
+    (MODE_CMD_NONE = keep; C.MODE_PASSIVE / C.MODE_WALKING = the
+    FSM transitions of FSM.cpp:37-54).
+
+    estimator: static estimator kind driving the controller
+    (hector/estimation.py; default = the reference's cheater configuration).
     """
 
-    def rollout(carry, plant, cmd, disturbance=None):
-        terrain = (cmd.terrain_step_height, cmd.terrain_step_length)
-
-        def body(state, dist):
+    def rollout(carry, plant, cmd, disturbance=None, schedule=None):
+        def body(state, xs):
+            dist, percmd, mode_cmd = xs
+            cmd_t = percmd if with_schedule else cmd
+            terrain = (cmd_t.terrain_step_height, cmd_t.terrain_step_length)
             (c0, p0) = state
             c, p = c0, p0
+            if with_schedule:
+                c = apply_mode_command(c, p, mode_cmd, cfg)
             diag0 = None
             for k in range(cfg.mpc.mpc_cadence):
                 c, motor_cmd, wrench, stance, diag = controller_tick(
-                    c, p, cmd, do_mpc=(k == 0), cfg=cfg)
+                    c, p, cmd_t, do_mpc=(k == 0), cfg=cfg,
+                    estimator=estimator)
                 if k == 0:
-                    diag0 = diag
+                    # GRF/contact telemetry channel (the analog of the
+                    # foot_contact_plugin wrench topics,
+                    # unitree_gazebo/plugin/foot_contact_plugin.cc:45-80):
+                    # per-period world wrench (2,6) + contact state (2,)
+                    diag0 = {**diag, "wrench": wrench,
+                             "contact": stance}
                 p = srb.step(p, motor_cmd, wrench, stance,
                              disturbance=dist, terrain=terrain, cfg=cfg)
             # NaN quarantine (SURVEY.md §5 failure-detection plan): if this
@@ -219,18 +297,27 @@ def make_rollout(n_periods: int, cfg: HectorConfig = DEFAULT_CONFIG,
             c = jax.tree.map(lambda new, old: jnp.where(healthy, new, old),
                              c, c0)._replace(mode=mode, tick=c.tick)
             diag0 = {**diag0,
+                     "mode": mode,
                      "fallen": diag0["fallen"] | ~healthy,
                      "quarantined": ~healthy}
             return (c, p), diag0
 
+        sched = schedule if schedule is not None else (None, None)
         (carry, plant), diags = jax.lax.scan(
-            body, (carry, plant), disturbance, length=n_periods)
+            body, (carry, plant), (disturbance, sched[0], sched[1]),
+            length=n_periods)
         return carry, plant, diags
 
-    if with_disturbance:
+    if with_disturbance and with_schedule:
         fn = rollout
+    elif with_disturbance:
+        fn = lambda carry, plant, cmd, disturbance: rollout(
+            carry, plant, cmd, disturbance, None)
+    elif with_schedule:
+        fn = lambda carry, plant, cmd, schedule: rollout(
+            carry, plant, cmd, None, schedule)
     else:
-        fn = lambda carry, plant, cmd: rollout(carry, plant, cmd, None)
+        fn = lambda carry, plant, cmd: rollout(carry, plant, cmd, None, None)
     if batched:
         fn = jax.vmap(fn)
     return jax.jit(fn)

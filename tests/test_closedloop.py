@@ -68,3 +68,34 @@ def test_batched_mixed_scenarios():
     assert abs(x[0]) < 0.05      # standing stays put
     assert x[2] > x[1] > 0.0     # faster command -> farther
     assert x[3] < -0.0           # backward walks backward
+
+
+def test_endurance_walk_5s_steady_state_tracking():
+    """5 s endurance at three speeds in one batch (VERDICT r1 item 6):
+    steady-state |vx - cmd| <= 0.1 m/s at 0.5 m/s over the last second,
+    height flat, no falls.  (Measured steady errors: 0.03/0.08/0.12 at
+    0.25/0.5/0.75 -- the residual is the reference controller's own
+    model-mass offset, 9 kg MPC model vs 13.856 kg plant.)"""
+    import jax
+    n = 1000
+    roll = RT.make_rollout(n, cfg=CFG, batched=True)
+    B = 3
+    plant1 = srb.init_plant_state(CFG)
+    carry1 = RT.init_controller_carry(plant1, CFG)
+    tile = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+    plant = jax.tree.map(tile, plant1)
+    carry = jax.tree.map(tile, carry1)
+    cmds = [RT.walking_command(vx=0.25), RT.walking_command(vx=0.5),
+            RT.walking_command(vx=0.75)]
+    cmd = jax.tree.map(lambda *xs: jnp.stack(xs), *cmds)
+    carry, plant, diags = roll(carry, plant, cmd)
+    vx = np.asarray(diags['vx'])
+    h = np.asarray(diags['height'])
+    assert not np.asarray(diags['fallen']).any()
+    # tight bar at the 0.5 m/s BASELINE point
+    assert abs(vx[1, -200:].mean() - 0.5) <= 0.1
+    assert vx[1, -200:].std() < 0.05                  # steady, not limit-cycling
+    assert abs(vx[0, -200:].mean() - 0.25) <= 0.06
+    assert abs(vx[2, -200:].mean() - 0.75) <= 0.15
+    assert h[:, -200:].std(axis=-1).max() < 0.01      # height flat
+    assert float(plant.position[1, 0]) > 1.8          # ~0.42 m/s for 5 s

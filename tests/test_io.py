@@ -75,3 +75,49 @@ def test_checkpoint_roundtrip(tmp_path):
                                np.asarray(plant.position))
     np.testing.assert_allclose(np.asarray(restored["cmd"].vx),
                                np.asarray(cmd.vx))
+
+
+def test_closed_loop_replay_tracks_table(tmp_path):
+    """The completed TO-state capability: a trajectory table DRIVES the
+    controller+plant in closed loop and the robot tracks it
+    (FSMState_TO.cpp:27-40 leaves run() a stub; SURVEY.md §2.1 planned this
+    harness).  Table: straight 0.4 m/s walk for 1 s."""
+    import numpy as np
+    from hector.io import trajectory as TRAJ
+
+    n, dt = 240, 0.005
+    t = np.arange(n) * dt
+    states = np.zeros((n, 12))
+    states[:, 3] = 0.4 * t          # x
+    states[:, 5] = 0.55             # z
+    states[:, 9] = 0.4              # vx
+    path = str(tmp_path / "walk.csv")
+    TRAJ.write_csv(path, t, states)
+    table = TRAJ.TrajectoryTable.from_csv(path)
+
+    report, diags = TRAJ.closed_loop_replay(table)
+    assert not report['fallen']
+    assert report['periods'] == n - 1 or report['periods'] == n
+    # tracks the moving reference: bounded error, real forward progress
+    assert report['pos_err_max'] < 0.25
+    assert report['pos_err_final'] < 0.25
+    assert float(np.asarray(diags['xy'])[-1, 0]) > 0.2
+    assert report['height_err_mean'] < 0.08
+
+
+def test_replay_cli_closed_loop(tmp_path, capsys):
+    import json as _json
+    import numpy as np
+    from hector import cli
+    from hector.io import trajectory as TRAJ
+
+    n, dt = 60, 0.005
+    t = np.arange(n) * dt
+    states = np.zeros((n, 12))
+    states[:, 5] = 0.55
+    path = str(tmp_path / "stand.csv")
+    TRAJ.write_csv(path, t, states)
+    cli.main(["replay", path, "--closed-loop"])
+    out = _json.loads(capsys.readouterr().out)
+    assert out['fallen'] is False
+    assert out['pos_err_max'] < 0.1
