@@ -52,17 +52,20 @@ def shard_batch(tree, mesh: Mesh):
 
 
 def make_batch(batch: int, cmd_fn=None, cfg: HectorConfig = DEFAULT_CONFIG,
-               mesh: Optional[Mesh] = None):
+               mesh: Optional[Mesh] = None, seed: int = 0):
     """(carry, plant, cmd) for `batch` scenarios, optionally sharded.
 
     cmd_fn: index array (batch,) -> ScenarioCommand pytree (vmapped); default
     is forward walking at speeds spread over the teleop envelope
-    (FSMState_Walking.cpp:30, vx in [-0.75, 0.75])."""
+    (FSMState_Walking.cpp:30, vx in [-0.75, 0.75]).  Estimator noise streams
+    get per-lane keys folded from `seed`."""
     plant1 = srb.init_plant_state(cfg)
-    carry1 = RT.init_controller_carry(plant1, cfg)
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        jax.random.PRNGKey(seed), jnp.arange(batch))
+    carry = jax.vmap(lambda k: RT.init_controller_carry(plant1, cfg, key=k))(
+        keys)
     tile = lambda x: jnp.broadcast_to(x, (batch,) + x.shape)
     plant = jax.tree.map(tile, plant1)
-    carry = jax.tree.map(tile, carry1)
     if cmd_fn is None:
         vx = jnp.linspace(-0.75, 0.75, batch)
         cmd_fn = lambda i: RT.walking_command(vx=vx[i])
@@ -78,33 +81,33 @@ def make_sharded_rollout(n_periods: int, mesh: Mesh,
     """Sharded closed-loop rollout + explicitly-placed metric reduction.
 
     Returns rollout(carry, plant, cmd) -> (carry', plant', metrics) where
-    metrics are GLOBAL scalars (psum over the mesh): mean height, mean |vx
-    error| proxy, fallen count, qp convergence stats.  Zero device->host
-    traffic inside the step (SURVEY.md §5 observability plan).
+    metrics are GLOBAL scalars (psum over the mesh): mean height, fallen
+    count, qp convergence stats.  Zero device->host traffic inside the step
+    (SURVEY.md §5 observability plan).
+
+    The WHOLE step body lives inside one shard_map: each device runs the
+    vmapped rollout -- including the fused Pallas QP kernel when
+    cfg.solver.backend selects it -- on its local scenario shard, and only
+    the scalar metric reductions cross the mesh (psum/pmax over ICI/DCN).
     """
     roll = RT.make_rollout(n_periods, cfg=cfg, batched=True)
 
-    @partial(jax.jit, out_shardings=None)
-    def rollout(carry, plant, cmd):
+    def step(carry, plant, cmd):
         carry, plant, diags = roll(carry, plant, cmd)
-
-        def reduce_local(height, fallen, qp_mu):
-            # shard_map body: explicit psum over the data axis
-            n = jax.lax.psum(jnp.asarray(height.size, jnp.float32), 'data')
-            return dict(
-                mean_height=jax.lax.psum(jnp.sum(height), 'data') / n,
-                fallen_count=jax.lax.psum(
-                    jnp.sum(fallen.astype(jnp.float32)), 'data'),
-                qp_mu_max=jax.lax.pmax(jnp.max(qp_mu), 'data'),
-            )
-
-        from jax.experimental.shard_map import shard_map
-        metrics = shard_map(
-            reduce_local, mesh=mesh,
-            in_specs=(P('data'), P('data'), P('data')),
-            out_specs=P())(
-                diags['height'].astype(jnp.float32),
-                diags['fallen'], diags['qp_mu'].astype(jnp.float32))
+        height = diags['height'].astype(jnp.float32)
+        n = jax.lax.psum(jnp.asarray(height.size, jnp.float32), 'data')
+        metrics = dict(
+            mean_height=jax.lax.psum(jnp.sum(height), 'data') / n,
+            fallen_count=jax.lax.psum(
+                jnp.sum(diags['fallen'].astype(jnp.float32)), 'data'),
+            qp_mu_max=jax.lax.pmax(
+                jnp.max(diags['qp_mu'].astype(jnp.float32)), 'data'),
+        )
         return carry, plant, metrics
 
-    return rollout
+    # check_vma=False: pallas_call outputs do not carry varying-mesh-axis
+    # annotations yet, so the per-shard kernel needs the vma check off
+    return jax.jit(jax.shard_map(
+        step, mesh=mesh, check_vma=False,
+        in_specs=(P('data'), P('data'), P('data')),
+        out_specs=(P('data'), P('data'), P())))
