@@ -113,9 +113,17 @@ TRUNK_INERTIA = np.diag([0.052, 0.0441, 0.0184])
 
 # contact points in the toe frame: front/heel edge of the sole box
 # (collision origin (0.01, 0.0194 m, -0.02), box 0.15 x 0.02 x 0.04)
+# Contact corners of the toe collision box (const.xacro: toe_length 0.15,
+# toe_width 0.02, toe_height 0.04 centered at toe_x 0.01) -- the box's
+# bottom face corners.  The 2 cm width matters: it is the foot's only roll
+# support/damping in single stance; modeling the foot as a zero-width line
+# (the r1 two-point version) removes all lateral contact stiffness and the
+# walking gait develops a growing lateral rocking limit cycle.
 CONTACT_POINTS_TOE = np.array([
-    [0.085, 0.0, -0.04],   # toe tip
-    [-0.065, 0.0, -0.04],  # heel
+    [0.085, 0.01, -0.04],    # toe tip, outer
+    [0.085, -0.01, -0.04],   # toe tip, inner
+    [-0.065, 0.01, -0.04],   # heel, outer
+    [-0.065, -0.01, -0.04],  # heel, inner
 ])
 
 

@@ -181,8 +181,9 @@ def bias_forces(base_pos, base_rot, q, nu, gravity):
 
 
 def contact_points_and_jac(base_pos, base_rot, q, nu):
-    """World contact points (4, 3), their velocities (4, 3), and the
-    contact jacobian J (4, 3, 16) via unit generalized velocities."""
+    """World contact points (P, 3), their velocities (P, 3), and the
+    contact jacobian J (P, 3, 16) via unit generalized velocities
+    (P = 2 legs x len(CONTACT_POINTS_TOE))."""
     dtype = base_pos.dtype
     cps = jnp.asarray(mdl.CONTACT_POINTS_TOE, dtype)
 
@@ -190,7 +191,7 @@ def contact_points_and_jac(base_pos, base_rot, q, nu):
     toe_rot = rots[:, 4]
     toe_org = orgs[:, 4]
     pts = (toe_org[:, None, :]
-           + jnp.einsum('lab,pb->lpa', toe_rot, cps)).reshape(4, 3)
+           + jnp.einsum('lab,pb->lpa', toe_rot, cps)).reshape(-1, 3)
 
     def point_vel(nu_):
         v0, w0 = nu_[0:3], nu_[3:6]
@@ -214,7 +215,7 @@ def contact_points_and_jac(base_pos, base_rot, q, nu):
         v_toe = v_orgs[:, 4]
         vp = (v_toe[:, None, :] + jnp.cross(
             w_toe[:, None, :],
-            jnp.einsum('lab,pb->lpa', toe_rot, cps))).reshape(4, 3)
+            jnp.einsum('lab,pb->lpa', toe_rot, cps))).reshape(-1, 3)
         return vp
 
     vels = point_vel(nu)

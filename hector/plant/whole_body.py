@@ -23,7 +23,10 @@ import jax.numpy as jnp
 from ..config import HectorConfig, DEFAULT_CONFIG
 from .. import math as hm
 from . import rnea
+from .model import CONTACT_POINTS_TOE
 from .srb import terrain_height
+
+N_CONTACT = 2 * len(CONTACT_POINTS_TOE)   # both legs
 
 
 class WholeBodyState(NamedTuple):
@@ -33,8 +36,8 @@ class WholeBodyState(NamedTuple):
     omega_world: jnp.ndarray  # (3,)
     q: jnp.ndarray            # (2, 5) joint angles (URDF zero config)
     qd: jnp.ndarray           # (2, 5)
-    anchor: jnp.ndarray       # (4, 2) xy stiction anchors per contact point
-    sticking: jnp.ndarray     # (4,) bool: anchor valid
+    anchor: jnp.ndarray       # (P, 2) xy stiction anchors per contact point
+    sticking: jnp.ndarray     # (P,) bool: anchor valid
 
 
 class ContactConfig(NamedTuple):
@@ -59,13 +62,13 @@ def init_whole_body_state(height: float = 0.55,
         omega_world=jnp.zeros(3, dtype),
         q=jnp.zeros((2, 5), dtype),
         qd=jnp.zeros((2, 5), dtype),
-        anchor=jnp.zeros((4, 2), dtype),
-        sticking=jnp.zeros((4,), bool))
+        anchor=jnp.zeros((N_CONTACT, 2), dtype),
+        sticking=jnp.zeros((N_CONTACT,), bool))
 
 
 def contact_forces(points, vels, anchor, sticking, terrain,
                    ccfg: ContactConfig):
-    """(spring forces f0 (4, 3), implicit damping gains d (4, 3),
+    """(spring forces f0 (P, 3), implicit damping gains d (P, 3),
     new_anchor, new_sticking).
 
     Normal: spring (explicit) + damper (returned as a gain and folded into
@@ -175,9 +178,9 @@ def step(state: WholeBodyState, cmd, cfg: HectorConfig = DEFAULT_CONFIG,
 
 
 def foot_positions(state: WholeBodyState):
-    """World toe/heel contact points (2 legs, 2 points, 3)."""
+    """World toe-box corner contact points (2 legs, P/2 points, 3)."""
     rot = hm.quat_to_rot(state.quat)
     nu = jnp.zeros(16, state.position.dtype)
     pts, _, _ = rnea.contact_points_and_jac(
         state.position, rot, state.q, nu)
-    return pts.reshape(2, 2, 3)
+    return pts.reshape(2, -1, 3)

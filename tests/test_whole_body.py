@@ -88,12 +88,28 @@ def test_mpc_standing_whole_body(wb_rollout):
 
 
 def test_mpc_walking_whole_body(wb_rollout):
-    """Walks multiple full gait cycles on the articulated plant (1.5 s;
-    longer-horizon lateral limit-cycle robustness is tracked as a known
-    tier-2 gap)."""
+    """Walks multiple full gait cycles on the articulated plant (1.5 s)."""
     carry, plant = _init_pair()
     carry, plant, diags = wb_rollout(carry, plant, RT.walking_command(vx=0.3))
     h = np.asarray(diags['height'])
     assert not np.asarray(diags['fallen']).any()
     assert h.min() > 0.4
     assert float(plant.position[0]) > 0.15
+
+
+def test_whole_body_endurance_walk_3s_no_lateral_divergence():
+    """The r1 tier-2 'lateral limit-cycle gap' regression: with the
+    zero-width line foot the lateral rocking grew ~10%/step and the robot
+    fell at ~2 s; the toe collision BOX of the URDF (const.xacro: 0.15 x
+    0.02 x 0.04) has 2 cm of width, whose corner contacts provide the roll
+    stiffness/damping that closes the cycle.  3 s endurance: bounded
+    lateral excursion, no falls, sustained forward progress."""
+    roll = RT.make_rollout_whole_body(600, cfg=CFG, batched=False)
+    carry, plant = _init_pair()
+    carry, plant, diags = roll(carry, plant, RT.walking_command(vx=0.3))
+    h = np.asarray(diags['height'])
+    xy = np.asarray(diags['xy'])
+    assert not np.asarray(diags['fallen']).any()
+    assert h.min() > 0.45
+    assert np.abs(xy[:, 1]).max() < 0.15       # lateral excursion bounded
+    assert float(plant.position[0]) > 0.45     # >= ~0.15 m/s avg over 3 s
