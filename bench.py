@@ -88,7 +88,7 @@ def main():
         "value": round(per_chip, 1),
         "unit": "solves/s/chip",
         "vs_baseline": round(per_chip / 6250.0, 3),
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

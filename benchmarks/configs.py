@@ -21,14 +21,43 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _throughput(step_fn, args, iters=10):
-    out = step_fn(*args)
-    jax.block_until_ready(jax.tree.leaves(out)[0])
-    t0 = time.perf_counter()
+def _throughput(step_fn, args, iters=10, rewire=None):
+    """Median wall time per dispatch under the bench.py measurement
+    discipline (its module docstring documents why): on the tunneled TPU
+    runtime ``block_until_ready`` can return before execution completes and
+    identical repeat dispatches are memoized, so naive repeat-timing
+    overstates throughput by orders of magnitude.  Here every iteration
+    (a) is DEPENDENCY-CHAINED: ``rewire(out, args)`` feeds the previous
+    dispatch's output state back in as the next input, so dispatches are
+    value-distinct and cannot be overlapped or cached, and (b) syncs on a
+    real device->host VALUE FETCH of a scalar reduction of the output --
+    the value cannot exist before the computation ran.
+
+    rewire(out, args) -> args for the next dispatch; default replaces
+    args[0] with out[0] (works for carry-first step functions).
+    """
+    if rewire is None:
+        rewire = lambda out, args: (out[0],) + tuple(args[1:])
+
+    def fetch(out):
+        # one output leaf is a sufficient sync point: the dispatch executes
+        # atomically, so its value cannot exist before the program ran
+        leaf = next(x for x in jax.tree.leaves(out)
+                    if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype,
+                                                              jnp.floating))
+        return float(jnp.sum(leaf))
+
+    out = step_fn(*args)            # compile + first run (excluded)
+    fetch(out)
+    times = []
     for _ in range(iters):
+        args = rewire(out, args)
+        t0 = time.perf_counter()
         out = step_fn(*args)
-    jax.block_until_ready(jax.tree.leaves(out)[0])
-    return (time.perf_counter() - t0) / iters
+        fetch(out)
+        times.append(time.perf_counter() - t0)
+    import statistics
+    return statistics.median(times)
 
 
 def config1_standing(seconds: float = 2.0) -> dict:
@@ -59,7 +88,8 @@ def config2_walking64(seconds: float = 2.0) -> dict:
     carry, plant, cmd = PAR.make_batch(
         64, cmd_fn=lambda i: RT.walking_command(vx=vx[i]))
     roll = RT.make_rollout(n_periods, cfg=CFG, batched=True)
-    dt = _throughput(roll, (carry, plant, cmd), iters=3)
+    dt = _throughput(roll, (carry, plant, cmd), iters=3,
+                     rewire=lambda out, a: (out[0], out[1], a[2]))
     carry, plant, diags = roll(carry, plant, cmd)
     fallen = float(np.asarray(diags["fallen"]).mean())
     x = np.asarray(plant.position[:, 0])
@@ -104,7 +134,8 @@ def config4_sharded(batch: int = 32768, seconds: float = 0.25) -> dict:
         SC.random_commands(jax.random.PRNGKey(0), batch), mesh)
     n_periods = max(1, int(seconds / 0.005))
     roll = PAR.make_sharded_rollout(n_periods, mesh, CFG)
-    dt = _throughput(roll, (carry, plant, cmd), iters=3)
+    dt = _throughput(roll, (carry, plant, cmd), iters=3,
+                     rewire=lambda out, a: (out[0], out[1], a[2]))
     solves = batch * n_periods
     carry, plant, metrics = roll(carry, plant, cmd)
     return dict(config="sharded_host", batch=batch, devices=int(n_dev),
@@ -113,24 +144,51 @@ def config4_sharded(batch: int = 32768, seconds: float = 0.25) -> dict:
                 passed=True)
 
 
-def config5_scaling(max_batch: int = 262144) -> dict:
-    """Scaling-efficiency report (BASELINE config 5 shape): planning
-    throughput vs batch size on the available mesh; multihost runs use
-    hector.parallel.multihost() with the same code."""
+def config5_scaling(max_batch: int = 262144, chain_len: int = 8) -> dict:
+    """Scaling-efficiency report (BASELINE config 5 shape): sustained
+    planning throughput vs batch size on the available mesh; multihost
+    runs use hector.parallel.multihost() with the same code.
+
+    Uses the bench.py chained-scan methodology: chain_len dependency-
+    chained plan steps inside ONE dispatch, so the per-dispatch tunnel
+    latency (~tens of ms on the tunneled runtime) is amortized and the
+    row measures sustained compute throughput, not dispatch latency."""
     from hector import runtime as RT, parallel as PAR
     from hector.io import scenarios as SC
     from hector.config import DEFAULT_CONFIG as CFG
+    import statistics
 
     mesh = PAR.data_mesh()
     n_dev = mesh.devices.size
-    plan = jax.jit(jax.vmap(RT.plan_step_fn(CFG)))
+    plan = RT.plan_step_fn(CFG)
+
+    @jax.jit
+    def chained(carry, plant, cmd):
+        def body(state, _):
+            c, p = state
+            c, wrench, _motor = jax.vmap(plan)(c, p, cmd)
+            p = p._replace(position=p.position + 1e-9 * wrench[:, 0, :3])
+            return (c, p), None
+        (c, p), _ = jax.lax.scan(body, (carry, plant), None,
+                                 length=chain_len)
+        return c, p, jnp.sum(p.position) + jnp.sum(c.planner.f_ff)
+
     rows = []
     batch = 512
     while batch <= min(max_batch, 16384 * n_dev):
         carry, plant, _ = PAR.make_batch(batch, cfg=CFG, mesh=mesh)
         cmd = PAR.shard_batch(
             SC.random_commands(jax.random.PRNGKey(0), batch), mesh)
-        dt = _throughput(plan, (carry, plant, cmd), iters=5)
+        c, p, s = chained(carry, plant, cmd)      # compile (excluded)
+        float(s)
+        times = []
+        for _ in range(5):
+            carry, plant = c, p                   # dependency-chain
+            t0 = time.perf_counter()
+            c, p, s = chained(carry, plant, cmd)
+            float(s)                              # device->host value fetch
+            times.append(time.perf_counter() - t0)
+        dt = statistics.median(times) / chain_len
         rows.append(dict(batch=batch, solves_per_s=batch / dt))
         batch *= 4
     base = rows[0]["solves_per_s"] / rows[0]["batch"]

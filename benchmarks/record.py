@@ -56,6 +56,9 @@ def sharded_pallas_rollout(batch: int = 8192, n_periods: int = 5) -> dict:
     _sync = float(metrics['mean_height'])
     times = []
     for _ in range(3):
+        # dependency-chain: feed the previous rollout's state back in so
+        # dispatches are value-distinct (bench.py measurement discipline)
+        carry, plant = c, p
         t0 = time.perf_counter()
         c, p, metrics = roll(carry, plant, cmd)
         _sync = float(metrics['mean_height'])        # device->host fetch
@@ -96,7 +99,7 @@ def main(out_path: str | None = None):
     if out_path:
         with open(out_path, 'w') as fh:
             fh.write(text + '\n')
-    print(text)
+    print(text, flush=True)
 
 
 if __name__ == '__main__':

@@ -9,7 +9,9 @@ def main():
     keys = list(CONFIGS) if which == "all" else [which]
     for k in keys:
         result = CONFIGS[k]()
-        print(json.dumps({"config_id": k, **result}))
+        # flush: on the tunneled TPU runtime process exit can hang for
+        # minutes on teardown; an outer `timeout` must not lose the result
+        print(json.dumps({"config_id": k, **result}), flush=True)
 
 
 if __name__ == "__main__":
