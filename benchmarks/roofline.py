@@ -103,7 +103,7 @@ def main(batch: int = 4096, chain_len: int = 16):
     rep = roofline_report(solves_per_s, iterations=CFG.solver.iterations)
     rep.update(batch=batch, backend=jax.default_backend(),
                solver="pallas_riccati" if on_tpu else "riccati(jax)")
-    print(json.dumps(rep))
+    print(json.dumps(rep), flush=True)
 
 
 if __name__ == "__main__":
