@@ -42,9 +42,13 @@ def _throughput(step_fn, args, iters=10, rewire=None):
     def fetch(out):
         # one output leaf is a sufficient sync point: the dispatch executes
         # atomically, so its value cannot exist before the program ran
-        leaf = next(x for x in jax.tree.leaves(out)
-                    if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype,
-                                                              jnp.floating))
+        leaf = next((x for x in jax.tree.leaves(out)
+                     if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype,
+                                                               jnp.floating)),
+                    None)
+        if leaf is None:       # no floating leaf: fall back to a full sync
+            jax.block_until_ready(out)
+            return 0.0
         return float(jnp.sum(leaf))
 
     out = step_fn(*args)            # compile + first run (excluded)

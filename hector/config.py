@@ -203,6 +203,9 @@ class PlantConfig:
     joint_vel_limit: float = 21.0     # rad/s (const.xacro)
     # first-order joint-servo tracking for kinematic swing legs
     joint_tracking_tau: float = 0.02
+    # effective link inertia seen by a limp (kp=0) joint's kd damping
+    # (distal thigh+calf+toe lumped about the joint, ~0.5 kg at ~0.2 m)
+    swing_joint_inertia: float = 0.02
     # unilateral ground contact (penalty spring-damper on penetration; the
     # batched analog of the ODE quick-solver contact in
     # unitree_gazebo/worlds/normal.world)

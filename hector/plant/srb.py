@@ -123,8 +123,6 @@ def step(state: PlantState, cmd, wrench_world, contact_sched,
 
     in_contact = contact_sched > 0
 
-    # --- joint servos ---
-    tau = servo_torque(cmd, state.q, state.qd, cfg)
     # torque-feasibility scaling of the commanded stance wrench: find the
     # per-leg factor s in (0, 1] with |J^T (s w)| <= tau_max
     j_fm, _ = leg_jacobians(state.q, cfg)
@@ -214,13 +212,17 @@ def step(state: PlantState, cmd, wrench_world, contact_sched,
                 + hip_width)
     q_stance = leg_ik(anchor_b, apply_joint_offsets(state.q), cfg)
 
-    has_target = jnp.any(cmd.kp > 0, axis=-1, keepdims=True) | \
-        in_contact[:, None]
+    has_target = (cmd.kp > 0) | in_contact[:, None]
     q_target = jnp.where(in_contact[:, None], q_stance, cmd.q_des)
     track = jnp.asarray(pcfg.joint_tracking_tau, dtype)
     qd_des = jnp.clip((q_target - state.q) / track,
                       -pcfg.joint_vel_limit, pcfg.joint_vel_limit)
-    qd_new = jnp.where(has_target, qd_des, 0.0)
+    # limp joints (kp == 0, kd >= 0 -- e.g. passive mode's kd=5 damping
+    # command, FSMState_Passive.cpp:10): the servo's kd acts on the link's
+    # effective inertia as an implicit first-order velocity decay, so a
+    # limp leg damps out instead of freezing.
+    qd_limp = state.qd / (1.0 + dt * cmd.kd / pcfg.swing_joint_inertia)
+    qd_new = jnp.where(has_target, qd_des, qd_limp)
     q_new = state.q + dt * qd_new
 
     # --- contact transitions: anchor at touchdown ---

@@ -204,7 +204,6 @@ def controller_tick(carry: ControllerCarry, plant: srb.PlantState,
         diag = dict(qp_mu=sol.mu, qp_r_dual=sol.r_dual, qp_r_prim=sol.r_prim)
     else:
         # reuse last solution: reconstruct the world wrench from stored f_ff
-        r_body_t = jnp.swapaxes(est.r_body, -1, -2)
         f = planner.f_ff
         wrench_world = jnp.concatenate([
             -(f[:, 0:3] @ est.r_body), -(f[:, 3:6] @ est.r_body)], axis=-1)

@@ -101,3 +101,44 @@ def test_rollout_wrench_and_contact_telemetry():
     fig1 = viz.plot_forces(w)
     fig2 = viz.plot_gait(c, dt=0.005)
     assert fig1 is not None and fig2 is not None
+
+
+def test_limp_leg_damps_with_kd():
+    """A kp=0/kd=5 (passive-mode) swing leg's joint velocity must DECAY
+    under the commanded damping -- not freeze (r2 VERDICT weak #4; the
+    reference's passive mode is damping-only, FSMState_Passive.cpp:10).
+    With kd=0 the limp joint coasts instead."""
+    plant = srb.init_plant_state(CFG, height=0.8)
+    plant = plant._replace(qd=jnp.full((2, 5), 3.0, jnp.float32))
+    no_contact = jnp.zeros((2,), jnp.float32)
+    wrench = jnp.zeros((2, 6), jnp.float32)
+    z = jnp.zeros((2, 5), jnp.float32)
+    damped_cmd = C.MotorCommand(tau=z, q_des=z, qd_des=z, kp=z,
+                                kd=jnp.full((2, 5), 5.0, jnp.float32))
+    coast_cmd = C.MotorCommand(tau=z, q_des=z, qd_des=z, kp=z, kd=z)
+
+    p_damp, p_coast = plant, plant
+    for _ in range(50):   # 50 ms
+        p_damp = srb.step(p_damp, damped_cmd, wrench, no_contact, cfg=CFG)
+        p_coast = srb.step(p_coast, coast_cmd, wrench, no_contact, cfg=CFG)
+    # kd=5 on J_eff=0.02 -> time constant 4 ms; 50 ms is >10 tau
+    assert float(jnp.abs(p_damp.qd).max()) < 0.01
+    assert float(jnp.abs(p_damp.q - plant.q).max()) > 1e-3   # it moved first
+    assert float(jnp.abs(p_coast.qd - 3.0).max()) < 1e-5     # kd=0 coasts
+
+
+def test_servo_torque_law_and_clamp():
+    """The open reimplementation of the closed-source computeTorque servo:
+    tau = Kp (q*-q) + Kd (dq*-dq) + tau_ff, clamped to the URDF 33.5 Nm
+    effort limit (unitree_joint_control_tool.h; joint_controller.cpp:208)."""
+    q = jnp.zeros((2, 5)); qd = jnp.full((2, 5), 0.5)
+    cmd = C.MotorCommand(
+        tau=jnp.full((2, 5), 1.0), q_des=jnp.full((2, 5), 0.1),
+        qd_des=jnp.zeros((2, 5)), kp=jnp.full((2, 5), 30.0),
+        kd=jnp.full((2, 5), 1.0))
+    tau = np.asarray(srb.servo_torque(cmd, q, qd, CFG))
+    np.testing.assert_allclose(tau, 30.0 * 0.1 + 1.0 * (-0.5) + 1.0,
+                               rtol=1e-6)
+    big = cmd._replace(kp=jnp.full((2, 5), 1e4))
+    tau = np.asarray(srb.servo_torque(big, q, qd, CFG))
+    np.testing.assert_allclose(tau, CFG.plant.torque_limit, rtol=1e-6)
