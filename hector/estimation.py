@@ -10,9 +10,11 @@ compose with the same rollout and batch over scenarios.
 Provided:
 
 - ``cheater``: exact passthrough (the reference's configuration);
-- ``noisy_sensors``: a sensor model producing IMU-style measurements
-  (quat, gyro, accel-free position/velocity proxies) with configurable
-  Gaussian noise -- the batched stand-in for Gazebo's sensor plugins;
+- ``noisy_sensors`` + ``imu_accel``: a sensor model producing IMU-style
+  measurements (quat, gyro, body-frame specific force, plus direct
+  position/velocity proxies used only by the staged 'filtered' kind) with
+  configurable Gaussian noise -- the batched stand-in for Gazebo's sensor
+  plugins;
 - ``filtered``: first-order IIR low-pass on the noisy velocity/position
   channels (the FirstOrderIIRFilter.h capability of the reference,
   include/common/Math/FirstOrderIIRFilter.h);
@@ -40,6 +42,7 @@ class SensorNoise(NamedTuple):
     vel_std: float = 0.02
     gyro_std: float = 0.01
     quat_std: float = 0.002   # small-angle noise, radians
+    accel_std: float = 0.05   # accelerometer, m/s^2 (body-frame channels)
 
 
 def noisy_sensors(key, plant, noise: SensorNoise = SensorNoise()):
@@ -67,6 +70,23 @@ def noisy_sensors(key, plant, noise: SensorNoise = SensorNoise()):
     return pos, vel, quat, gyro
 
 
+def imu_accel(key, plant, prev_v, dt, noise: SensorNoise = SensorNoise()):
+    """Body-frame accelerometer (specific force) measurement.
+
+    The true specific force over the last tick is the finite difference of
+    the true velocity (exactly what a physical accelerometer integrates to
+    over one sample) minus gravity, rotated into the body frame, plus
+    Gaussian noise -- the IMU channel the reference's LowlevelState carries
+    (include/messages/LowlevelState.h IMU.acc) but its cheater estimators
+    never consume."""
+    dtype = plant.position.dtype
+    a_true = (plant.v_world - prev_v) / dt
+    g_w = jnp.asarray([0.0, 0.0, -9.81], dtype)
+    r_bw = hm.quat_to_rot(plant.quat)                  # body->world (true)
+    f_body = r_bw.T @ (a_true - g_w)
+    return f_body + noise.accel_std * jax.random.normal(key, (3,), dtype)
+
+
 def cheater(plant) -> C.StateEstimate:
     """Ground-truth passthrough (the reference's cheater estimators)."""
     return C.estimate_state(plant.position, plant.v_world, plant.quat,
@@ -85,7 +105,13 @@ def init_filter_state(plant) -> FilterState:
 def filtered(state: FilterState, pos_meas, vel_meas, quat_meas, gyro_meas,
              alpha: float = 0.3):
     """First-order IIR low-pass on position/velocity measurements
-    (y += alpha (x - y), the FirstOrderIIRFilter.h update)."""
+    (y += alpha (x - y), the FirstOrderIIRFilter.h update).
+
+    STAGING CHEAT, documented: the pos/vel channels it consumes are direct
+    world-frame measurements (ground truth + noise) that no real sensor
+    provides -- a staged-fidelity rung between the cheater and the KF.  The
+    'kf' estimator kind uses only realistic channels (IMU specific force,
+    gyro/quat, joint encoders, contact flags)."""
     pos = state.pos + alpha * (pos_meas - state.pos)
     vel = state.vel + alpha * (vel_meas - state.vel)
     est = C.estimate_state(pos, vel, quat_meas, gyro_meas)
@@ -218,6 +244,7 @@ class EstimatorState(NamedTuple):
     key: jnp.ndarray           # PRNG key for the sensor noise model
     filt: FilterState
     kf: KFState
+    prev_v: jnp.ndarray        # (3,) last-tick true v_world (IMU model)
 
 
 def _rel_feet_body(plant, cfg):
@@ -240,7 +267,8 @@ def est_init(plant, key, cfg) -> EstimatorState:
     return EstimatorState(
         key=key,
         filt=init_filter_state(plant),
-        kf=kf_init(plant.position, plant.v_world, p_feet_w))
+        kf=kf_init(plant.position, plant.v_world, p_feet_w),
+        prev_v=plant.v_world)
 
 
 def est_update(kind: str, state: EstimatorState, plant, cfg,
@@ -252,23 +280,29 @@ def est_update(kind: str, state: EstimatorState, plant, cfg,
     if kind == 'cheater':
         return state, cheater(plant)
 
-    key, sub = jax.random.split(state.key)
+    key, sub, sub_a = jax.random.split(state.key, 3)
     pos_m, vel_m, quat_m, gyro_m = noisy_sensors(sub, plant, noise)
 
     if kind == 'filtered':
         filt, est = filtered(state.filt, pos_m, vel_m, quat_m, gyro_m)
         return state._replace(key=key, filt=filt), est
 
-    # kind == 'kf'
+    # kind == 'kf': IMU-driven -- the process input is the measured specific
+    # force gravity-compensated through the MEASURED orientation; the direct
+    # world pos/vel channels are never consumed on this path.
+    dtype = plant.position.dtype
+    f_body_m = imu_accel(sub_a, plant, state.prev_v, cfg.plant.dt, noise)
     rel, rel_vel = _rel_feet_body(plant, cfg)
     r_body = jnp.swapaxes(hm.quat_to_rot(quat_m), -1, -2)
     omega_body = r_body @ gyro_m
+    g_w = jnp.asarray([0.0, 0.0, -cfg.plant.gravity], dtype)
+    accel_world = r_body.T @ f_body_m + g_w
     kf = kf_update(
         state.kf,
-        accel_world=jnp.zeros(3, plant.position.dtype),
+        accel_world=accel_world,
         r_body=r_body, rel_body=rel, rel_vel_body=rel_vel,
         omega_body=omega_body,
-        contact=plant.contact.astype(plant.position.dtype),
+        contact=plant.contact.astype(dtype),
         dt=cfg.plant.dt)
     est = kf_estimate(kf, quat_m, gyro_m)
-    return state._replace(key=key, kf=kf), est
+    return state._replace(key=key, kf=kf, prev_v=plant.v_world), est

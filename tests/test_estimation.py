@@ -158,8 +158,10 @@ def test_walking_on_filtered_noisy_sensors():
 
 
 def test_walking_on_contact_aided_kf():
-    """Walk driven by the contact-aided KF (position/velocity from
-    kinematics + gyro/quat measurements; NO ground-truth leakage)."""
+    """Walk driven by the contact-aided, IMU-driven KF: the process input
+    is the measured specific force (gravity-compensated through the
+    measured orientation), corrections come from leg kinematics + contact
+    flags, and the direct world pos/vel channels are never consumed."""
     carry, plant, diags, np = _walk_with_estimator('kf')
     assert not np.asarray(diags['fallen']).any()
     vx = np.asarray(diags['vx'])
@@ -179,3 +181,41 @@ def test_estimator_kinds_share_one_rollout_signature():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         E.est_update('bogus', None, None, None)
+
+
+def test_imu_accel_measures_specific_force():
+    """At rest the accelerometer reads +g along body z; under known
+    acceleration it reads (a - g) rotated to the body frame."""
+    plant = srb.init_plant_state(CFG)
+    keys = jax.random.split(jax.random.PRNGKey(3), 500)
+    f = jax.vmap(lambda k: E.imu_accel(k, plant, plant.v_world, 0.001))(keys)
+    f = np.asarray(f)
+    np.testing.assert_allclose(f.mean(axis=0), [0.0, 0.0, 9.81], atol=0.02)
+    assert abs(f.std(axis=0).mean() - 0.05) < 0.01
+    # accelerating at +2 m/s^2 in x over the tick
+    moving = plant._replace(v_world=plant.v_world + jnp.asarray(
+        [2e-3, 0.0, 0.0], plant.v_world.dtype))
+    f2 = jax.vmap(lambda k: E.imu_accel(
+        k, moving, plant.v_world, 0.001))(keys)
+    np.testing.assert_allclose(np.asarray(f2).mean(axis=0),
+                               [2.0, 0.0, 9.81], atol=0.02)
+
+
+def test_kf_integrates_accel_through_flight():
+    """With both feet in swing (zero kinematic trust) the KF must dead-
+    reckon from the acceleration input alone -- the accel-integrating
+    legged-robot KF, not a constant-velocity model."""
+    p0 = jnp.asarray([0.0, 0.0, 0.55])
+    feet = jnp.asarray([[0.0, 0.04, 0.0], [0.0, -0.18, 0.0]])
+    kf = E.kf_init(p0, jnp.zeros(3), feet)
+    a = jnp.asarray([1.5, 0.0, 0.0])
+
+    def step(kf, _):
+        kf = E.kf_update(kf, a, jnp.eye(3), feet - p0[None, :],
+                         jnp.zeros((2, 3)), jnp.zeros(3),
+                         jnp.zeros(2), dt=0.001)   # contact = 0: no trust
+        return kf, None
+
+    kf, _ = jax.lax.scan(step, kf, None, length=200)   # 0.2 s
+    np.testing.assert_allclose(float(kf.x[3]), 0.3, atol=5e-3)   # v = a t
+    np.testing.assert_allclose(float(kf.x[0]), 0.03, atol=2e-3)  # p = a t²/2
