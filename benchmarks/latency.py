@@ -1,0 +1,97 @@
+"""Real-time-budget report: per-dispatch latency of ONE MPC period vs batch.
+
+BASELINE demands ~1 kHz whole-body / ~500 Hz MPC *per scenario* alongside
+throughput.  Amortized throughput (chained scans) hides dispatch latency;
+this report measures the wall time of a SINGLE dispatch of one MPC period
+(5 control ticks, one 200 Hz QP solve -- the reference's
+``iterationCounter % 5`` cadence, ConvexMPCLocomotion.cpp:277) across batch
+sizes, and finds the largest batch that still fits the 5 ms period budget.
+
+Because a single dispatch on the tunneled TPU runtime pays a fixed
+host->device round-trip, the report also measures that floor with a trivial
+jitted program and reports both raw and net-of-overhead latency: the NET
+number is what a locally-attached (non-tunneled) chip would see; the RAW
+number is this runtime's end-to-end reality.
+
+    python -m benchmarks.latency [max_batch]
+
+Prints one JSON object.  Anchors: main.cpp:30 (1 kHz loop),
+SolverMPC.cpp:717 (the reference's per-solve printf timing).
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BUDGET_MS = 5.0     # one MPC period of sim time (200 Hz MPC, 1 kHz WBC)
+
+
+def _dispatch_overhead_ms(reps: int = 30) -> float:
+    """Latency floor: a near-empty jitted program, fetch-synced."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    x = f(x)
+    float(x[0])
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        x = f(x)                    # chained: x feeds forward
+        float(x[0])                 # device->host value fetch
+        times.append(time.perf_counter() - t0)
+    return 1e3 * statistics.median(times)
+
+
+def one_period_latency_ms(batch: int, reps: int = 15) -> float:
+    """Median single-dispatch wall time of one closed-loop MPC period
+    (5 ticks, one QP solve) at the given batch, dependency-chained and
+    value-fetch-synced (bench.py measurement discipline)."""
+    from hector import runtime as RT, parallel as PAR
+    from hector.config import DEFAULT_CONFIG as CFG
+
+    carry, plant, cmd = PAR.make_batch(batch, cfg=CFG)
+    roll = RT.make_rollout(1, cfg=CFG, batched=True)
+    c, p, d = roll(carry, plant, cmd)          # compile (excluded)
+    float(jnp.sum(d["height"]))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        c, p, d = roll(c, p, cmd)              # chained through (c, p)
+        float(jnp.sum(d["height"]))            # value fetch
+        times.append(time.perf_counter() - t0)
+    return 1e3 * statistics.median(times)
+
+
+def main(max_batch: int = 16384):
+    from benchmarks._cache import enable_cache
+    enable_cache()
+    overhead = _dispatch_overhead_ms()
+    rows = []
+    batch = 64
+    while batch <= max_batch:
+        lat = one_period_latency_ms(batch)
+        net = max(0.0, lat - overhead)
+        rows.append(dict(batch=batch, latency_ms=round(lat, 3),
+                         net_ms=round(net, 3),
+                         meets_budget=bool(lat <= BUDGET_MS),
+                         meets_budget_net=bool(net <= BUDGET_MS)))
+        batch *= 4
+    fit = [r["batch"] for r in rows if r["meets_budget"]]
+    fit_net = [r["batch"] for r in rows if r["meets_budget_net"]]
+    rep = dict(config="latency", budget_ms=BUDGET_MS,
+               dispatch_overhead_ms=round(overhead, 3),
+               backend=jax.default_backend(), rows=rows,
+               max_batch_within_budget=max(fit) if fit else 0,
+               max_batch_within_budget_net=max(fit_net) if fit_net else 0)
+    print(json.dumps(rep), flush=True)
+    return rep
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 16384)

@@ -1,0 +1,160 @@
+"""Render PERF.md from the recorded benchmark matrix.
+
+    python -m benchmarks.perf_md perf/PERF_r3.json [perf/parts/weak_scaling.json]
+
+Reads the raw JSON document written by ``benchmarks.record`` (plus the
+separately-recorded CPU-mesh weak-scaling artifact, which must run in its
+own process on the CPU backend) and writes PERF.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def _fmt(x, nd=1):
+    if isinstance(x, float):
+        return f"{x:,.{nd}f}"
+    return f"{x:,}" if isinstance(x, int) else str(x)
+
+
+def render(doc: dict, weak: dict | None, src_name: str) -> str:
+    r = doc["results"]
+    lines = []
+    a = lines.append
+    a("# PERF — recorded benchmark matrix")
+    a("")
+    a(f"Raw artifact: `{src_name}` (hardware: {doc['devices']}, backend "
+      f"{doc['backend']}).  Methodology: dependency-chained, value-unique "
+      f"dispatches synced by device→host value fetches (see `bench.py` "
+      f"docstring).  The reference never recorded numbers — its only "
+      f"instrumentation is a per-solve printf (`SolverMPC.cpp:717`).")
+    a("")
+
+    h = r.get("headline", {})
+    a("## Headline")
+    a("")
+    a(f"**{_fmt(h.get('value'))} {h.get('unit', '')}** — "
+      f"{_fmt(h.get('vs_baseline'), 1)}× the per-chip BASELINE share "
+      f"(≥100k solves/s on v5e-16 → 6,250/chip).  One solve = one full MPC "
+      f"planning step (FK/Jacobians, gait, reference trajectory, QP build, "
+      f"fixed-iteration interior point, wrench + torque map).")
+    a("")
+
+    rf = r.get("roofline", {})
+    a("## Solver-kernel roofline (speed-of-light)")
+    a("")
+    if "error" in rf or not rf:
+        a(f"NOT RECORDED: {rf.get('error', 'missing')}")
+    else:
+        a("| quantity | value |")
+        a("|---|---|")
+        for k, v in rf.items():
+            a(f"| {k} | {_fmt(v, 3) if isinstance(v, float) else v} |")
+        a("")
+        sol = rf.get("speed_of_light_solves_per_s")
+        meas = rf.get("measured_solves_per_s")
+        if sol and meas:
+            a(f"The fused Riccati kernel sustains "
+              f"**{100.0 * meas / sol:.0f}% of the analytic "
+              f"speed-of-light** for its bytes/FLOPs mix.")
+    a("")
+
+    lt = r.get("latency", {})
+    a("## Real-time budget (per-dispatch latency of one MPC period)")
+    a("")
+    if "error" in lt or not lt:
+        a(f"NOT RECORDED: {lt.get('error', 'missing')}")
+    else:
+        a(f"Budget: {lt['budget_ms']} ms = one MPC period (5 ticks at "
+          f"1 kHz, one 200 Hz QP solve).  Measured dispatch-overhead floor "
+          f"on this tunneled runtime: {lt['dispatch_overhead_ms']} ms "
+          f"(subtracted for the `net` column — the locally-attached-chip "
+          f"number).")
+        a("")
+        a("| batch | latency (ms) | net (ms) | ≤ budget | ≤ budget (net) |")
+        a("|---|---|---|---|---|")
+        for row in lt["rows"]:
+            a(f"| {row['batch']:,} | {row['latency_ms']} | {row['net_ms']} "
+              f"| {'yes' if row['meets_budget'] else 'no'} "
+              f"| {'yes' if row['meets_budget_net'] else 'no'} |")
+        a("")
+        a(f"Largest batch within the 5 ms period budget: "
+          f"**{lt['max_batch_within_budget']:,}** end-to-end, "
+          f"**{lt['max_batch_within_budget_net']:,}** net of tunnel "
+          f"overhead.")
+    a("")
+
+    a("## BASELINE configs")
+    a("")
+    a("| config | result |")
+    a("|---|---|")
+    for k in ("config1", "config2", "config3", "config4", "config5",
+              "sharded_pallas"):
+        c = r.get(k, {})
+        if "error" in c:
+            a(f"| {k} | ERROR: {c['error'][:120]} |")
+            continue
+        head = c.get("config", k)
+        keys = [x for x in ("solves_per_s", "closed_loop_solves_per_s",
+                            "sim_seconds_per_wall_second", "mean_height",
+                            "fallen_frac", "fallen_count", "batch",
+                            "devices", "peak_solves_per_s") if x in c]
+        body = ", ".join(f"{x}={_fmt(c[x])}" for x in keys)
+        a(f"| {head} | {body} |")
+    a("")
+    c5 = r.get("config5", {})
+    if "rows" in c5:
+        a("### Throughput-vs-batch saturation (config 5)")
+        a("")
+        a("| batch | solves/s | vs peak |")
+        a("|---|---|---|")
+        for row in c5["rows"]:
+            a(f"| {row['batch']:,} | {_fmt(row['solves_per_s'])} "
+              f"| {row['throughput_vs_peak']:.2f} |")
+        a("")
+        a("Rising-to-1.0 is the expected shape: small batches underfill "
+          "the chip; the knee is where one chip saturates.  Scale past the "
+          "knee comes from more chips (the `('data',)` mesh), not bigger "
+          "per-chip batches.")
+    a("")
+
+    a("## Weak scaling (virtual 8-device CPU mesh)")
+    a("")
+    if not weak or "rows" not in weak:
+        a("NOT RECORDED (run `JAX_PLATFORMS=cpu python -m "
+          "benchmarks.weak_scaling`).")
+    else:
+        a("| devices | global batch | time/step (s) | efficiency t(1)/t(n) |")
+        a("|---|---|---|---|")
+        for row in weak["rows"]:
+            a(f"| {row['devices']} | {row['batch']} | {row['time_s']} "
+              f"| {row['weak_scaling_efficiency']} |")
+        a("")
+        a(f"_{weak.get('note', '')}_  Sharded pallas-interpret rollout "
+          f"(2 periods, 8 devices): "
+          f"{'ok' if weak.get('sharded_pallas_interpret_2periods_ok') else 'FAILED'}.")
+    a("")
+    return "\n".join(lines) + "\n"
+
+
+def main(doc_path: str, weak_path: str | None = None,
+         out: str = "PERF.md"):
+    with open(doc_path) as fh:
+        doc = json.load(fh)
+    weak = None
+    if weak_path and os.path.exists(weak_path) and \
+            os.path.getsize(weak_path) > 0:
+        with open(weak_path) as fh:
+            weak = json.load(fh)
+    text = render(doc, weak, os.path.basename(doc_path))
+    with open(out, "w") as fh:
+        fh.write(text)
+    print(f"wrote {out} ({len(text)} bytes)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1],
+         sys.argv[2] if len(sys.argv) > 2 else "perf/parts/weak_scaling.json")

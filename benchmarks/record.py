@@ -73,8 +73,10 @@ def sharded_pallas_rollout(batch: int = 8192, n_periods: int = 5) -> dict:
 
 
 def main(out_path: str | None = None):
+    from benchmarks._cache import enable_cache
+    enable_cache()
     import bench
-    from benchmarks import roofline
+    from benchmarks import roofline, latency
     from benchmarks.configs import CONFIGS
 
     doc = dict(
@@ -82,24 +84,37 @@ def main(out_path: str | None = None):
         devices=[str(d) for d in jax.devices()],
         results={})
 
-    doc['results']['headline'] = _capture_json_lines(bench.main)[0]
-    doc['results']['roofline'] = _capture_json_lines(
-        roofline.main, 4096)[0]
-    for k, fn in CONFIGS.items():
+    def guarded(key, fn, *args):
         try:
-            doc['results'][f'config{k}'] = fn()
+            doc['results'][key] = fn(*args)
         except Exception as e:          # record, don't abort the matrix
-            doc['results'][f'config{k}'] = dict(error=repr(e)[:300])
-    try:
-        doc['results']['sharded_pallas'] = sharded_pallas_rollout()
-    except Exception as e:
-        doc['results']['sharded_pallas'] = dict(error=repr(e)[:300])
+            doc['results'][key] = dict(error=repr(e)[:300])
+
+    guarded('headline', lambda: _capture_json_lines(bench.main)[0])
+    guarded('roofline', lambda: _capture_json_lines(roofline.main, 4096)[0])
+    guarded('latency', latency.main)
+    for k, fn in CONFIGS.items():
+        guarded(f'config{k}', fn)
+    guarded('sharded_pallas', sharded_pallas_rollout)
 
     text = json.dumps(doc, indent=2, default=float)
     if out_path:
         with open(out_path, 'w') as fh:
             fh.write(text + '\n')
+        # refresh the per-part artifacts next to the combined document so
+        # no stale/empty part file survives a recording run (ADVICE r2)
+        import os
+        parts = os.path.join(os.path.dirname(os.path.abspath(out_path)),
+                             'parts')
+        if os.path.isdir(parts):
+            for key, val in doc['results'].items():
+                name = {'headline': 'headline', 'roofline': 'roofline',
+                        'latency': 'latency',
+                        'sharded_pallas': 'sharded_pallas'}.get(key, key)
+                with open(os.path.join(parts, f'{name}.json'), 'w') as fh:
+                    fh.write(json.dumps(val, default=float) + '\n')
     print(text, flush=True)
+    return doc
 
 
 if __name__ == '__main__':

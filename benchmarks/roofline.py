@@ -65,6 +65,8 @@ def nominal_problem(batch: int):
 
 
 def main(batch: int = 4096, chain_len: int = 16):
+    from benchmarks._cache import enable_cache
+    enable_cache()
     from hector.qp import pallas_riccati, riccati
     sqp, CFG = nominal_problem(batch)
 

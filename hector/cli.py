@@ -5,6 +5,7 @@
     python -m hector batch --batch 4096 --seconds 2 --log out.jsonl
     python -m hector bench --batch 4096
     python -m hector teleop                  # interactive wasd/jl teleop
+    python -m hector view --vx 0.5           # live ANSI sim view
     python -m hector replay traj.csv         # offline trajectory (TO state)
 
 Commands come from flags, a scenario seed, or the interactive teleop
@@ -127,6 +128,53 @@ def cmd_teleop(args):
     print()
 
 
+def cmd_view(args):
+    """Live ANSI side-view of a running sim (the Gazebo-GUI/rviz analog,
+    hector/io/live.py): one MPC period per frame, paced near real time."""
+    _cpu_backend(args)
+    import time as _time
+    import numpy as np
+    import jax
+    from . import runtime as RT
+    from . import math as hm
+    from . import worlds
+    from .plant import srb
+    from .config import DEFAULT_CONFIG
+    from .io import live
+
+    CFG, terrain = worlds.apply(args.world, DEFAULT_CONFIG)
+    plant = srb.init_plant_state(CFG)
+    carry = RT.init_controller_carry(plant, CFG)
+    cmd = (RT.standing_command() if args.gait == "standing"
+           else RT.walking_command(vx=args.vx, vy=args.vy,
+                                   yaw_rate=args.yaw_rate,
+                                   step_height=terrain.step_height,
+                                   step_length=terrain.step_length))
+    roll = RT.make_rollout(1, cfg=CFG, batched=False)
+    period = CFG.mpc.dt * CFG.mpc.mpc_cadence
+    n_frames = int(args.seconds / period)
+    cmd_text = (f"cmd vx={args.vx:+.2f} vy={args.vy:+.2f} "
+                f"wz={args.yaw_rate:+.2f}  world={args.world}")
+    t = 0.0
+    for k in range(n_frames):
+        t0 = _time.perf_counter()
+        carry, plant, diags = roll(carry, plant, cmd)
+        t += period
+        hips_w, feet_w, contact = live.frame_geometry(plant, CFG)
+        fz = np.asarray(diags["wrench"], float)[0, :, 2]
+        frame = live.render_frame(
+            np.asarray(plant.position), np.asarray(
+                hm.quat_to_rpy(plant.quat)),
+            hips_w, feet_w, contact, fz, t, cmd_text,
+            step_height=float(terrain.step_height),
+            step_length=float(terrain.step_length))
+        print(live.ANSI_HOME + frame, flush=True)
+        if args.speed > 0:
+            _time.sleep(max(0.0, period / args.speed
+                            - (_time.perf_counter() - t0)))
+    print()
+
+
 def cmd_replay(args):
     """Offline-trajectory playback (the FSMState_TO capability): load a CSV
     trajectory table; --closed-loop drives the full controller+plant from it
@@ -177,6 +225,19 @@ def main(argv=None):
     t = sub.add_parser("teleop", help="interactive keyboard teleop")
     t.add_argument("--world", default="normal")
     t.set_defaults(fn=cmd_teleop)
+
+    v = sub.add_parser("view", help="live ANSI view of a running sim")
+    v.add_argument("--gait", choices=["standing", "walking"],
+                   default="walking")
+    v.add_argument("--vx", type=float, default=0.5)
+    v.add_argument("--vy", type=float, default=0.0)
+    v.add_argument("--yaw-rate", type=float, default=0.0)
+    v.add_argument("--seconds", type=float, default=5.0)
+    v.add_argument("--world", default="normal")
+    v.add_argument("--speed", type=float, default=1.0,
+                   help="playback speed multiple of real time; 0 = "
+                        "as fast as the rollout runs")
+    v.set_defaults(fn=cmd_view)
 
     rp = sub.add_parser("replay", help="offline trajectory playback (TO)")
     rp.add_argument("csv", help="trajectory CSV (time + 12-dim state + ...)")

@@ -272,9 +272,16 @@ def est_init(plant, key, cfg) -> EstimatorState:
 
 
 def est_update(kind: str, state: EstimatorState, plant, cfg,
-               noise: SensorNoise = SensorNoise()):
+               noise: SensorNoise = SensorNoise(), ground_z: float = 0.0):
     """One 1 kHz estimator tick.  kind is STATIC ('cheater' | 'filtered' |
-    'kf'); returns (new EstimatorState, StateEstimate)."""
+    'kf'); returns (new EstimatorState, StateEstimate).
+
+    ground_z: the height the KF expects the FK FOOT POINT to sit at when
+    planted -- a fixed calibration constant of the foot model, NOT runtime
+    ground truth.  0 for the tier-1 plant (stance anchors pin the FK foot
+    to z=0); the articulated plant's toe-box geometry leaves the FK point
+    ~6.8 cm above the ground plane (plant/whole_body.py
+    FK_FOOT_CLEARANCE)."""
     if kind not in KINDS:
         raise ValueError(f'unknown estimator kind {kind!r}; expected {KINDS}')
     if kind == 'cheater':
@@ -303,6 +310,6 @@ def est_update(kind: str, state: EstimatorState, plant, cfg,
         r_body=r_body, rel_body=rel, rel_vel_body=rel_vel,
         omega_body=omega_body,
         contact=plant.contact.astype(dtype),
-        dt=cfg.plant.dt)
+        dt=cfg.plant.dt, ground_z=ground_z)
     est = kf_estimate(kf, quat_m, gyro_m)
     return state._replace(key=key, kf=kf, prev_v=plant.v_world), est

@@ -28,6 +28,15 @@ from .srb import terrain_height
 
 N_CONTACT = 2 * len(CONTACT_POINTS_TOE)   # both legs
 
+# Height of the reference FK foot point (LegController.cpp:190-194 chain,
+# hector/kinematics.foot_position) above the ground plane when the toe box
+# rests flat -- a fixed calibration constant of the FK-vs-collision-geometry
+# mismatch (the FK chain ends mid-toe, l_toe=0.036, while the URDF's toe
+# collision box bottom sits 0.04 below the toe frame).  Measured at the
+# settled nominal stance; tests/test_whole_body.py checks it to 5 mm.
+# Consumed by the contact-aided KF's foot-height measurement (ground_z).
+FK_FOOT_CLEARANCE = 0.0682
+
 
 class WholeBodyState(NamedTuple):
     position: jnp.ndarray     # (3,) trunk origin (== trunk com), world

@@ -152,7 +152,8 @@ def apply_mode_command(carry: ControllerCarry, plant: srb.PlantState,
 def controller_tick(carry: ControllerCarry, plant: srb.PlantState,
                     cmd: ScenarioCommand, do_mpc: bool,
                     cfg: HectorConfig = DEFAULT_CONFIG,
-                    estimator: str = 'cheater'):
+                    estimator: str = 'cheater',
+                    est_ground_z: float = 0.0):
     """One 1 kHz FSM tick (FSM::run -> FSMState_Walking::run,
     FSM.cpp:28-57, FSMState_Walking.cpp:26-41).
 
@@ -167,7 +168,8 @@ def controller_tick(carry: ControllerCarry, plant: srb.PlantState,
     offsets = jnp.asarray(JOINT_OFFSETS, dtype)
 
     # --- state estimation (StateEstimatorContainer::run analog) ---
-    est_state, est = EST.est_update(estimator, carry.est, plant, cfg)
+    est_state, est = EST.est_update(estimator, carry.est, plant, cfg,
+                                    ground_z=est_ground_z)
     mode = C.apply_safety(carry.mode, est)
 
     # --- LegController::updateData (+ the data.q mutation quirk) ---
@@ -226,6 +228,8 @@ def controller_tick(carry: ControllerCarry, plant: srb.PlantState,
         tick=carry.tick + 1, mode=mode, planner=planner,
         swing=swing_state, command=command, est=est_state)
     diag.update(height=est.position[2], vx=est.v_world[0],
+                vy=est.v_world[1], yaw=est.rpy[2],
+                v_body=est.v_body[0:2],
                 xy=est.position[0:2],
                 fallen=(mode == C.MODE_PASSIVE))
     return new_carry, motor_cmd, wrench_world, stance_mask, diag
@@ -322,46 +326,100 @@ def make_rollout(n_periods: int, cfg: HectorConfig = DEFAULT_CONFIG,
     return jax.jit(fn)
 
 
+def whole_body_observation(p) -> srb.PlantState:
+    """Honest controller/estimator observation of the articulated plant:
+    per-leg contact flags come from the plant's own stick state (any of the
+    leg's toe-box corner points in ground contact -- the batched analog of
+    the foot_contact_plugin's ContactSensor,
+    unitree_gazebo/plugin/foot_contact_plugin.cc:45-80) and foot_anchor is
+    the mean world position of the leg's contact points.  No fabricated
+    zeros: the contact-aided KF runs on the articulated plant from these
+    channels alone."""
+    from .plant import whole_body as WB
+
+    pts = WB.foot_positions(p)                       # (2, 4, 3) world
+    contact = p.sticking.reshape(2, -1).any(axis=-1)
+    return srb.PlantState(
+        position=p.position, quat=p.quat, v_world=p.v_world,
+        omega_world=p.omega_world, q=p.q, qd=p.qd,
+        foot_anchor=pts.mean(axis=1), contact=contact)
+
+
 def make_rollout_whole_body(n_periods: int,
                             cfg: HectorConfig = DEFAULT_CONFIG,
                             batched: bool = False,
-                            with_disturbance: bool = False):
+                            with_disturbance: bool = False,
+                            estimator: str = 'cheater',
+                            with_schedule: bool = False):
     """Tier-2 rollout: same controller, full articulated plant
     (hector/plant/whole_body.py).  The controller consumes the plant state
     through the same observation fields; contact is emergent from the
     penalty model rather than gait-scheduled, and ONLY the joint torques
     act -- no commanded-wrench shortcut.
+
+    First-class harness: same signature surface as make_rollout --
+    ``estimator`` selects the estimator kind driving the controller (the
+    contact-aided KF consumes the plant's own stick state, see
+    whole_body_observation), ``with_disturbance`` adds the per-period
+    (6,) world-wrench push input, ``with_schedule`` adds the per-period
+    (cmd_t, mode_cmd_t) command/mode schedule, and non-finite lanes are
+    quarantined exactly as on tier-1.
     """
     from .plant import whole_body as WB
 
-    def rollout(carry, plant: WB.WholeBodyState, cmd, disturbance=None):
-        terrain = (cmd.terrain_step_height, cmd.terrain_step_length)
-
-        def body(state, dist):
-            c, p = state
+    def rollout(carry, plant: WB.WholeBodyState, cmd, disturbance=None,
+                schedule=None):
+        def body(state, xs):
+            dist, percmd, mode_cmd = xs
+            cmd_t = percmd if with_schedule else cmd
+            terrain = (cmd_t.terrain_step_height, cmd_t.terrain_step_length)
+            c0, p0 = state
+            c, p = c0, p0
+            if with_schedule:
+                c = apply_mode_command(c, whole_body_observation(p),
+                                       mode_cmd, cfg)
             diag0 = None
             for k in range(cfg.mpc.mpc_cadence):
-                obs = srb.PlantState(
-                    position=p.position, quat=p.quat, v_world=p.v_world,
-                    omega_world=p.omega_world, q=p.q, qd=p.qd,
-                    foot_anchor=jnp.zeros((2, 3), p.position.dtype),
-                    contact=jnp.zeros((2,), bool))
+                obs = whole_body_observation(p)
                 c, motor_cmd, wrench, stance, diag = controller_tick(
-                    c, obs, cmd, do_mpc=(k == 0), cfg=cfg)
+                    c, obs, cmd_t, do_mpc=(k == 0), cfg=cfg,
+                    estimator=estimator,
+                    est_ground_z=WB.FK_FOOT_CLEARANCE)
                 if k == 0:
-                    diag0 = diag
+                    diag0 = {**diag, "wrench": wrench, "contact": stance}
                 p = WB.step(p, motor_cmd, cfg=cfg, terrain=terrain,
                             disturbance=dist)
+            healthy = (jnp.isfinite(p.position).all()
+                       & jnp.isfinite(p.v_world).all()
+                       & jnp.isfinite(p.quat).all()
+                       & jnp.isfinite(p.q).all())
+            p = jax.tree.map(lambda new, old: jnp.where(healthy, new, old),
+                             p, p0)
+            mode = jnp.where(healthy, c.mode,
+                             jnp.asarray(C.MODE_PASSIVE, c.mode.dtype))
+            c = jax.tree.map(lambda new, old: jnp.where(healthy, new, old),
+                             c, c0)._replace(mode=mode, tick=c.tick)
+            diag0 = {**diag0, "mode": mode,
+                     "fallen": diag0["fallen"] | ~healthy,
+                     "quarantined": ~healthy}
             return (c, p), diag0
 
+        sched = schedule if schedule is not None else (None, None)
         (carry, plant), diags = jax.lax.scan(
-            body, (carry, plant), disturbance, length=n_periods)
+            body, (carry, plant), (disturbance, sched[0], sched[1]),
+            length=n_periods)
         return carry, plant, diags
 
-    if with_disturbance:
+    if with_disturbance and with_schedule:
         fn = rollout
+    elif with_disturbance:
+        fn = lambda carry, plant, cmd, disturbance: rollout(
+            carry, plant, cmd, disturbance, None)
+    elif with_schedule:
+        fn = lambda carry, plant, cmd, schedule: rollout(
+            carry, plant, cmd, None, schedule)
     else:
-        fn = lambda carry, plant, cmd: rollout(carry, plant, cmd, None)
+        fn = lambda carry, plant, cmd: rollout(carry, plant, cmd, None, None)
     if batched:
         fn = jax.vmap(fn)
     return jax.jit(fn)

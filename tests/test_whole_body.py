@@ -68,13 +68,10 @@ def wb_rollout():
     return RT.make_rollout_whole_body(300, cfg=CFG, batched=False)
 
 
-def _init_pair():
+def _init_pair(key=None):
     plant = WB.init_whole_body_state(height=0.545)
-    obs = srb.PlantState(
-        position=plant.position, quat=plant.quat, v_world=plant.v_world,
-        omega_world=plant.omega_world, q=plant.q, qd=plant.qd,
-        foot_anchor=jnp.zeros((2, 3)), contact=jnp.zeros((2,), bool))
-    return RT.init_controller_carry(obs, CFG), plant
+    obs = RT.whole_body_observation(plant)
+    return RT.init_controller_carry(obs, CFG, key=key), plant
 
 
 def test_mpc_standing_whole_body(wb_rollout):
@@ -119,3 +116,140 @@ def test_whole_body_endurance_walk_5s_no_lateral_divergence():
     # vacuously true)
     assert np.abs(xy[-400:, 1]).max() <= np.abs(xy[:-400, 1]).max() + 1e-6
     assert np.abs(xy[-400:, 1]).max() < 0.12
+
+
+# ---------------------------------------------------------------------------
+# First-class tier-2 harness (VERDICT r2 item 3): the articulated plant under
+# the same estimator / disturbance / schedule surface as tier-1.
+# ---------------------------------------------------------------------------
+
+
+def test_fk_foot_clearance_calibration():
+    """The KF's FK-foot ground offset constant matches the settled plant:
+    PD-stand the articulated robot to rest and measure the reference-FK
+    foot point's height above the toe-box contact plane."""
+    from hector.kinematics import foot_position
+    from hector import math as hm
+
+    cmd = MotorCommand(
+        tau=jnp.zeros((2, 5)), q_des=jnp.zeros((2, 5)),
+        qd_des=jnp.zeros((2, 5)),
+        kp=jnp.asarray([[100.0, 100, 300, 300, 100]] * 2),
+        kd=jnp.full((2, 5), 5.0))
+    s = WB.init_whole_body_state(height=0.545, dtype=jnp.float64)
+    step = jax.jit(lambda s: WB.step(s, cmd))
+    for _ in range(800):
+        s = step(s)
+    hip = jnp.asarray([CFG.robot.hip_yaw_location(0),
+                       CFG.robot.hip_yaw_location(1)])
+    rot = hm.quat_to_rot(s.quat)
+    fk = s.position[None, :] + (hip + foot_position(s.q, CFG)) @ rot.T
+    pts = WB.foot_positions(s)
+    clearance = float((fk[:, 2] - pts[..., 2].min(axis=1)).mean())
+    assert abs(clearance - WB.FK_FOOT_CLEARANCE) < 0.005
+
+
+def test_whole_body_kf_driven_walk_05():
+    """The r2 VERDICT bar: KF-driven (IMU + kinematics + the plant's own
+    contact flags -- no ground truth) 0.5 m/s walk on the articulated
+    plant, 3 s, with the estimate tracking truth in the observable
+    directions (x is the unobservable gauge mode)."""
+    roll = RT.make_rollout_whole_body(600, cfg=CFG, batched=False,
+                                      estimator='kf')
+    carry, plant = _init_pair(key=jax.random.PRNGKey(5))
+    c, p, d = roll(carry, plant, RT.walking_command(vx=0.5))
+    assert not np.asarray(d['fallen']).any()
+    assert float(p.position[0]) > 0.8          # sustained forward progress
+    assert float(p.position[2]) > 0.5          # true height held
+    est = np.asarray(c.est.kf.x[0:6])
+    tru = np.concatenate([np.asarray(p.position), np.asarray(p.v_world)])
+    assert abs(est[2] - tru[2]) < 0.02         # height observable
+    assert abs(est[1] - tru[1]) < 0.03         # lateral observable
+    assert abs(est[4] - tru[4]) < 0.05         # vy tracks
+
+
+def test_whole_body_push_recovery():
+    """40 N lateral push for 50 ms mid-walk on the articulated plant:
+    caught by stepping, no fall (the tier-1 bar, now on honest physics)."""
+    dist = np.zeros((400, 6), np.float32)
+    dist[100:110, 1] = 40.0
+    roll = RT.make_rollout_whole_body(400, cfg=CFG, batched=False,
+                                      with_disturbance=True)
+    carry, plant = _init_pair()
+    c, p, d = roll(carry, plant, RT.walking_command(vx=0.3),
+                   jnp.asarray(dist))
+    assert not np.asarray(d['fallen']).any()
+    assert np.asarray(d['height']).min() > 0.45
+    assert abs(float(p.position[1])) < 0.2
+
+
+def test_whole_body_stairs_walk():
+    """3 cm stairs as controller-blind terrain mismatch on the articulated
+    plant (the reference's stairs.world analog)."""
+    roll = RT.make_rollout_whole_body(400, cfg=CFG, batched=False)
+    carry, plant = _init_pair()
+    c, p, d = roll(carry, plant,
+                   RT.walking_command(vx=0.4, step_height=0.03,
+                                      step_length=0.5))
+    assert not np.asarray(d['fallen']).any()
+    assert float(p.position[0]) > 0.35
+
+
+def test_whole_body_schedule_gait_switch():
+    """Mid-run walk -> stand -> walk gait switching on the articulated
+    plant through the same schedule channel as tier-1.
+
+    vx = 0.3: the stand->walk transition re-enters single-support from
+    near rest with the feet wherever the walk left them; at 0.4 m/s the
+    forward lean accumulated while standing tips the robot over the
+    support foot (a real dynamic limit of the reference controller, which
+    has no stand-to-walk weight-shift phase -- it only ever switches gait
+    number, ConvexMPCLocomotion.h:44)."""
+    n = 180
+    walk = RT.walking_command(vx=0.3)
+    stand = RT.standing_command()
+    cmds = [walk if (t < 60 or t >= 120) else stand for t in range(n)]
+    cmd_t = jax.tree.map(lambda *xs: jnp.stack(xs), *cmds)
+    mode_t = jnp.full((n,), RT.MODE_CMD_NONE, jnp.int32)
+    roll = RT.make_rollout_whole_body(n, cfg=CFG, batched=False,
+                                      with_schedule=True)
+    carry, plant = _init_pair()
+    c, p, d = roll(carry, plant, walk, (cmd_t, mode_t))
+    assert not np.asarray(d['fallen']).any()
+    vx = np.asarray(d['vx'])
+    assert vx[40:60].mean() > 0.12             # walking phase moves
+    assert abs(vx[110:120].mean()) < 0.2       # standing phase settles
+    assert vx[165:].mean() > 0.15              # resumed walking
+
+
+def test_whole_body_lateral_and_turning():
+    """vy and yaw-rate commands on the articulated plant: direction-exact
+    response (the tier-2 extension of tests/test_lateral_turning.py).
+
+    Measured tier-2 envelope, documented: side-stepping works to
+    |vy| <~ 0.15 m/s; beyond that the lateral steps pump an uncommanded
+    torsional yaw twist (corner-contact stick/slip has little yaw
+    authority on this narrow line foot) that grows until the robot falls
+    -- a physical limit of the honest plant, not present on tier-1 whose
+    anchored feet resist yaw rigidly.  Turning tracks across the command
+    range at the documented ~60-70% proportional rate."""
+    roll = RT.make_rollout_whole_body(400, cfg=CFG, batched=True)
+    B = 2
+    plant1 = WB.init_whole_body_state(height=0.545)
+    obs1 = RT.whole_body_observation(plant1)
+    carry1 = RT.init_controller_carry(obs1, CFG)
+    tile = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+    plant = jax.tree.map(tile, plant1)
+    carry = jax.tree.map(tile, carry1)
+    cmds = [RT.walking_command(vx=0.1, vy=0.15),
+            RT.walking_command(vx=0.3, yaw_rate=1.0)]
+    cmd = jax.tree.map(lambda *xs: jnp.stack(xs), *cmds)
+    c, p, d = roll(carry, plant, cmd)
+    assert not np.asarray(d['fallen']).any()
+    assert np.asarray(d['height']).min() > 0.45
+    xy = np.asarray(d['xy'])
+    yaw0 = np.unwrap(np.asarray(d['yaw'])[0])
+    yaw1 = np.unwrap(np.asarray(d['yaw'])[1])
+    assert xy[0, -1, 1] > 0.06                 # side-stepped left
+    assert abs(yaw0[-1]) < 0.15                # without twisting
+    assert yaw1[-1] > 0.6                      # turned left (yr=1.0, 2 s)
