@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from .config import HectorConfig, DEFAULT_CONFIG, JOINT_OFFSETS
 from . import gait as G
 from .kinematics import foot_rotation
-from .qp.builder import build_qp, build_stage_qp
+from .qp.builder import build_qp, build_stage_qp, build_stage_parts
 from .qp import pdip, riccati
 
 
@@ -173,17 +173,23 @@ def mpc_update(state: PlannerState, est, leg_q, p_foot_w, v_des_robot,
                     f'riccati_pallas kernel is built for horizon '
                     f'{pallas_riccati.H}, config has {cfg.mpc.horizon}; '
                     f'use backend="riccati" for non-default horizons')
-        # condensing-free stage-form path (hector/qp/riccati.py)
-        sqp = build_stage_qp(x0, traj, r_body_world, r_foot, r_feet, i_body,
-                             gait_table, cfg.mpc)
         if 'pallas' in backend:
-            solver = pallas_riccati.make_solver(
+            # compact production build: only the tensors the fused kernel
+            # reads (builder.StageQPParts) -- assembling the full
+            # (13,13)/(13,12) stage matrices costs ~3x the solve itself
+            # in padded tiny-tensor traffic (benchmarks/pipeline_split.py)
+            parts = build_stage_parts(x0, traj, r_body_world, r_foot,
+                                      r_feet, i_body, gait_table, cfg.mpc)
+            solver = pallas_riccati.make_parts_solver(
                 cfg.solver,
                 q_diag=tuple(cfg.mpc.weights) + (0.0,),
                 r_diag=tuple(cfg.mpc.alpha),
                 interpret=backend.endswith('interpret'))
-            sol = solver(sqp)
+            sol = solver(parts)
         else:
+            # condensing-free stage-form path (hector/qp/riccati.py)
+            sqp = build_stage_qp(x0, traj, r_body_world, r_foot, r_feet,
+                                 i_body, gait_table, cfg.mpc)
             sol = riccati.solve(sqp, cfg.solver)
     else:
         # legacy condensed-dense path (hector/qp/pdip.py)

@@ -80,6 +80,59 @@ def build_qp(x0, traj, r_body, r_foot, r_feet, i_body, gait_table,
     return QPData(h_mat, g_vec, c_block, lb, ub)
 
 
+class StageQPParts(NamedTuple):
+    """The exact tensor set the fused Pallas kernel reads -- the compact
+    production-path alternative to the full stage form.
+
+    ``pallas_riccati.solve_batched`` extracts s69/scal/b69 slices from the
+    full (13,13)/(13,12) a_dt/b_dt anyway; assembling those full matrices
+    costs ~3x the QP solve itself in padded tiny-tensor traffic (measured,
+    benchmarks/pipeline_split.py), so the production path builds only the
+    slices.  Values are EXACTLY those slices (tests/test_qp.py
+    test_parts_build_matches_stage_slices):
+
+      s69  = a_dt[0:3, 6:9]          = dt * euler_rate
+      scal = [a_dt[3,9], a_dt[11,12], b_dt[9,0]] = [dt, -dt, dt/mass]
+      b69  = b_dt[6:9, :] = dt * [I^-1 [r0]x | I^-1 [r1]x | I^-1 | I^-1]
+    """
+
+    s69: jnp.ndarray      # (..., 3, 3)
+    scal: jnp.ndarray     # (..., 3)
+    b69: jnp.ndarray      # (..., 3, 12)
+    u_mask: jnp.ndarray   # (..., h, 12)
+    x0: jnp.ndarray       # (..., 13)
+    xd: jnp.ndarray       # (..., h, 13)
+    c_block: jnp.ndarray  # (..., 16, 12)
+    lb: jnp.ndarray       # (..., h, 16)
+    ub: jnp.ndarray       # (..., h, 16)
+
+
+def build_stage_parts(x0, traj, r_body, r_foot, r_feet, i_body, gait_table,
+                      cfg: MPCConfig) -> StageQPParts:
+    """Assemble only what the fused kernel consumes (see StageQPParts).
+    Inputs as in :func:`build_qp`."""
+    from ..math import skew, inv3
+
+    dtype = x0.dtype
+    dt = jnp.asarray(cfg.dt_mpc, dtype)
+
+    s69 = dt * euler_rate_matrix(x0[0:3])
+    scal = jnp.stack([dt, -dt, dt / jnp.asarray(cfg.mass, dtype)])
+
+    i_world = r_body @ i_body @ jnp.swapaxes(r_body, -1, -2)
+    i_inv = inv3(i_world)
+    b69 = dt * jnp.concatenate([
+        i_inv @ skew(r_feet[..., 0, :]), i_inv @ skew(r_feet[..., 1, :]),
+        i_inv, i_inv], axis=-1)
+
+    u_mask = input_mask(gait_table).astype(dtype)
+    xd = jnp.concatenate(
+        [traj, jnp.zeros(traj.shape[:-1] + (1,), dtype)], axis=-1)
+    c_block = constraint_block(r_body, r_foot, cfg).astype(dtype)
+    lb, ub = constraint_bounds(gait_table.astype(dtype), cfg)
+    return StageQPParts(s69, scal, b69, u_mask, x0, xd, c_block, lb, ub)
+
+
 def build_stage_qp(x0, traj, r_body, r_foot, r_feet, i_body, gait_table,
                    cfg: MPCConfig):
     """Assemble the SAME MPC problem in optimal-control (stage) form for the

@@ -541,21 +541,28 @@ def solve_batched(sqp: StageQPData, scfg: SolverConfig = SolverConfig(),
     sqp.q_diag / sqp.r_diag (works eagerly).
     """
     a_dt, b_dt, u_mask, x0, xd, qd, rd, c_blk, lb, ub = sqp
-    bsz = x0.shape[0]
     if q_diag is None:
         q_diag = tuple(np.asarray(qd).reshape(-1)[-NX:].tolist())
     if r_diag is None:
         r_diag = tuple(np.asarray(rd).reshape(-1)[-NU:].tolist())
-    n_tiles = -(-bsz // TILE)
 
-    f32 = jnp.float32
-    s69 = a_dt[:, 0:3, 6:9].astype(f32)
+    s69 = a_dt[:, 0:3, 6:9]
     scal = jnp.stack([a_dt[:, 3, 9], a_dt[:, 11, 12], b_dt[:, 9, 0]],
-                     axis=1).astype(f32)
-    b69 = b_dt[:, 6:9, :].astype(f32)
+                     axis=1)
+    b69 = b_dt[:, 6:9, :]
+    return _solve_from_parts(s69, scal, b69, u_mask, x0, xd, c_blk, lb, ub,
+                             scfg=scfg, q_diag=q_diag, r_diag=r_diag,
+                             interpret=interpret)
 
+
+def _solve_from_parts(s69, scal, b69, u_mask, x0, xd, c_blk, lb, ub, *,
+                      scfg, q_diag, r_diag, interpret) -> QPSolution:
+    bsz = x0.shape[0]
+    n_tiles = -(-bsz // TILE)
+    f32 = jnp.float32
     tiles = [_to_tiles(x, bsz, n_tiles) for x in (
-        s69, scal, b69, c_blk.astype(f32), u_mask.astype(f32),
+        s69.astype(f32), scal.astype(f32), b69.astype(f32),
+        c_blk.astype(f32), u_mask.astype(f32),
         x0.astype(f32), xd.astype(f32), lb.astype(f32), ub.astype(f32))]
     # padded lanes: fully deactivated rows (lb=-2big < -big masks them)
     if n_tiles * TILE != bsz:
@@ -575,6 +582,48 @@ def solve_batched(sqp: StageQPData, scfg: SolverConfig = SolverConfig(),
     stats = _from_tiles(stats_t, bsz).astype(x0.dtype)
     return QPSolution(u=u, mu=stats[:, 0], r_dual=stats[:, 1],
                       r_prim=stats[:, 2])
+
+
+def solve_parts_batched(parts, scfg: SolverConfig = SolverConfig(),
+                        q_diag=None, r_diag=None,
+                        interpret: bool = False) -> QPSolution:
+    """Fused solve from the compact production build
+    (hector.qp.builder.StageQPParts): same kernel, no full-stage-form
+    extraction.  q_diag/r_diag must be static tuples."""
+    if q_diag is None or r_diag is None:
+        raise ValueError('solve_parts_batched requires static q_diag/r_diag')
+    s69, scal, b69, u_mask, x0, xd, c_blk, lb, ub = parts
+    return _solve_from_parts(s69, scal, b69, u_mask, x0, xd, c_blk, lb, ub,
+                             scfg=scfg, q_diag=q_diag, r_diag=r_diag,
+                             interpret=interpret)
+
+
+def make_parts_solver(scfg: SolverConfig = SolverConfig(), q_diag=None,
+                      r_diag=None, interpret: bool = False):
+    """Unbatched-callable fused solver over StageQPParts (the compact
+    production build); vmap routes the whole batch into one kernel
+    invocation, exactly like make_solver."""
+
+    kw = dict(q_diag=q_diag, r_diag=r_diag, interpret=interpret)
+
+    @jax.custom_batching.custom_vmap
+    def solve_one(parts) -> QPSolution:
+        p1 = jax.tree.map(lambda x: x[None], parts)
+        sol = solve_parts_batched(p1, scfg, **kw)
+        return jax.tree.map(lambda x: x[0], sol)
+
+    @solve_one.def_vmap
+    def _rule(axis_size, in_batched, parts):
+        in_batched = in_batched[0] if isinstance(in_batched, (list, tuple)) \
+            else in_batched
+        parts_b = jax.tree.map(
+            lambda x, bt: x if bt else jnp.broadcast_to(
+                x[None], (axis_size,) + x.shape),
+            parts, in_batched)
+        sol = solve_parts_batched(parts_b, scfg, **kw)
+        return sol, jax.tree.map(lambda _: True, sol)
+
+    return solve_one
 
 
 def make_solver(scfg: SolverConfig = SolverConfig(), q_diag=None,

@@ -117,3 +117,57 @@ def test_mpc_update_riccati_backend_matches_dense():
             np.asarray(c_r.planner.f_ff), np.asarray(c_d.planner.f_ff),
             atol=2e-3)
         p = srb.step(p, motor_d, w_d, s_d, cfg=cfg_d)
+
+
+def test_parts_build_matches_stage_slices():
+    """The compact production build (builder.build_stage_parts) must equal
+    the corresponding slices of the full stage form EXACTLY -- it is the
+    same arithmetic, just skipping the full (13,13)/(13,12) assembly."""
+    from hector.qp.builder import build_stage_parts
+
+    for k in range(3):
+        args = _inputs(k)
+        sqp = build_stage_qp(*args)
+        parts = build_stage_parts(*args)
+        np.testing.assert_array_equal(
+            np.asarray(parts.s69), np.asarray(sqp.a_dt[0:3, 6:9]))
+        np.testing.assert_array_equal(
+            np.asarray(parts.scal),
+            np.asarray(jnp.stack([sqp.a_dt[3, 9], sqp.a_dt[11, 12],
+                                  sqp.b_dt[9, 0]])))
+        np.testing.assert_allclose(
+            np.asarray(parts.b69), np.asarray(sqp.b_dt[6:9, :]),
+            rtol=0, atol=1e-15)
+        for name in ('u_mask', 'x0', 'xd', 'c_block', 'lb', 'ub'):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(parts, name)),
+                np.asarray(getattr(sqp, name)))
+
+
+def test_parts_solver_interpret_matches_riccati():
+    """The production mpc_update pallas path (compact parts build +
+    make_parts_solver) in interpret mode must match the pure-JAX stage
+    solver on the same scenarios."""
+    from hector.qp import pallas_riccati as PR
+    from hector.qp.builder import build_stage_parts
+
+    f32 = jnp.float32
+    scfg = SolverConfig()
+    q_diag = tuple(np.concatenate([np.asarray(CFG.weights), [0.0]]).tolist())
+    r_diag = tuple(np.asarray(CFG.alpha).tolist())
+    solver = PR.make_parts_solver(scfg, q_diag=q_diag, r_diag=r_diag,
+                                  interpret=True)
+    args = [_inputs(k, f32) for k in range(3)]
+    parts = jax.tree.map(lambda *xs: jnp.stack(xs),
+                         *[build_stage_parts(*a) for a in args])
+    sol_p = jax.jit(jax.vmap(solver))(parts)
+    for k in range(3):
+        cast = [a.astype(f32) if hasattr(a, 'astype') else a
+                for a in args[k]]
+        sol_r = riccati.solve(build_stage_qp(*cast), scfg)
+        assert np.abs(np.asarray(sol_p.u[k]) - GOLD[f's{k}_q_soln']
+                      ).max() < 1e-2
+        # kernel = fixed-sigma single-corrector, riccati.solve(default) =
+        # Mehrotra: two IP paths meet at their (different) f32 floors
+        assert np.abs(np.asarray(sol_p.u[k]) - np.asarray(sol_r.u)
+                      ).max() < 5e-3
