@@ -36,15 +36,25 @@ def cmd_run(args):
     from .io.metrics import summarize_rollout
 
     CFG, terrain = worlds.apply(args.world, DEFAULT_CONFIG)
-    plant = srb.init_plant_state(CFG)
-    carry = RT.init_controller_carry(plant, CFG)
     cmd = (RT.standing_command() if args.gait == "standing"
            else RT.walking_command(vx=args.vx, vy=args.vy,
                                    yaw_rate=args.yaw_rate,
                                    step_height=terrain.step_height,
                                    step_length=terrain.step_length))
     n_periods = int(args.seconds / (CFG.mpc.dt * CFG.mpc.mpc_cadence))
-    roll = RT.make_rollout(n_periods, cfg=CFG, batched=False)
+    if args.plant == "whole-body":
+        from .plant import whole_body as WB
+        plant = WB.init_whole_body_state(height=0.545)
+        carry = RT.init_controller_carry(
+            RT.whole_body_observation(plant), CFG)
+        roll = RT.make_rollout_whole_body(n_periods, cfg=CFG,
+                                          batched=False,
+                                          estimator=args.estimator)
+    else:
+        plant = srb.init_plant_state(CFG)
+        carry = RT.init_controller_carry(plant, CFG)
+        roll = RT.make_rollout(n_periods, cfg=CFG, batched=False,
+                               estimator=args.estimator)
     carry, plant, diags = roll(carry, plant, cmd)
     summary = summarize_rollout(diags)
     summary["x_traveled"] = float(plant.position[0])
@@ -219,6 +229,12 @@ def main(argv=None):
     r.add_argument("--world", default="normal",
                    help="world preset (hector/worlds.py): normal, earth, "
                         "space, stairs, ...")
+    r.add_argument("--plant", choices=["srb", "whole-body"], default="srb",
+                   help="tier-1 SRB plant or tier-2 articulated physics")
+    r.add_argument("--estimator", choices=["cheater", "filtered", "kf"],
+                   default="cheater",
+                   help="estimator driving the controller "
+                        "(hector/estimation.py)")
     r.add_argument("--plot", default=None, help="write tracking PNG")
     r.set_defaults(fn=cmd_run)
 

@@ -253,3 +253,19 @@ def test_whole_body_lateral_and_turning():
     assert xy[0, -1, 1] > 0.06                 # side-stepped left
     assert abs(yaw0[-1]) < 0.15                # without twisting
     assert yaw1[-1] > 0.6                      # turned left (yr=1.0, 2 s)
+
+
+def test_cli_run_whole_body_kf():
+    """``hector run --plant whole-body --estimator kf`` end to end."""
+    import contextlib
+    import io
+    import json as _json
+    from hector import cli
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli.main(["run", "--plant", "whole-body", "--estimator", "kf",
+                  "--vx", "0.4", "--seconds", "0.3"])
+    out = _json.loads(buf.getvalue())
+    assert out["fallen_frac"] == 0.0
+    assert out["min_height"] > 0.5
