@@ -33,50 +33,59 @@ import numpy as np
 BUDGET_MS = 5.0     # one MPC period of sim time (200 Hz MPC, 1 kHz WBC)
 
 
-def _dispatch_overhead_ms(reps: int = 30) -> float:
-    """Latency floor: a near-empty jitted program, fetch-synced."""
+def _trivial():
+    """A near-empty jitted program, fetch-synced: one sample of the
+    dispatch+fetch floor."""
     f = jax.jit(lambda x: x + 1.0)
-    x = jnp.zeros((8,), jnp.float32)
-    x = f(x)
+    x = f(jnp.zeros((8,), jnp.float32))
     float(x[0])
-    times = []
-    for _ in range(reps):
+
+    def sample():
         t0 = time.perf_counter()
-        x = f(x)                    # chained: x feeds forward
-        float(x[0])                 # device->host value fetch
-        times.append(time.perf_counter() - t0)
-    return 1e3 * statistics.median(times)
+        y = f(x)
+        float(y[0])
+        return time.perf_counter() - t0
+
+    return sample
 
 
-def one_period_latency_ms(batch: int, reps: int = 15) -> float:
-    """Median single-dispatch wall time of one closed-loop MPC period
-    (5 ticks, one QP solve) at the given batch, dependency-chained and
-    value-fetch-synced (bench.py measurement discipline)."""
+def one_period_latency_ms(batch: int, reps: int = 20):
+    """(raw_ms, net_ms): single-dispatch wall time of one closed-loop MPC
+    period (5 ticks, one QP solve) at the given batch, dependency-chained
+    and value-fetch-synced.  The tunnel's dispatch floor drifts by several
+    ms between sessions, so the net column uses PAIRED differencing: each
+    rep times a trivial dispatch immediately before the measured one and
+    subtracts, killing the drift."""
     from hector import runtime as RT, parallel as PAR
     from hector.config import DEFAULT_CONFIG as CFG
 
+    overhead = _trivial()
     carry, plant, cmd = PAR.make_batch(batch, cfg=CFG)
     roll = RT.make_rollout(1, cfg=CFG, batched=True)
     c, p, d = roll(carry, plant, cmd)          # compile (excluded)
     float(jnp.sum(d["height"]))
-    times = []
+    raw, net = [], []
     for _ in range(reps):
+        t_floor = overhead()
         t0 = time.perf_counter()
         c, p, d = roll(c, p, cmd)              # chained through (c, p)
         float(jnp.sum(d["height"]))            # value fetch
-        times.append(time.perf_counter() - t0)
-    return 1e3 * statistics.median(times)
+        dt = time.perf_counter() - t0
+        raw.append(dt)
+        net.append(dt - t_floor)
+    return (1e3 * statistics.median(raw),
+            max(0.0, 1e3 * statistics.median(net)))
 
 
 def main(max_batch: int = 16384):
     from benchmarks._cache import enable_cache
     enable_cache()
-    overhead = _dispatch_overhead_ms()
+    overhead = _trivial()
+    floor = 1e3 * statistics.median([overhead() for _ in range(20)])
     rows = []
     batch = 64
     while batch <= max_batch:
-        lat = one_period_latency_ms(batch)
-        net = max(0.0, lat - overhead)
+        lat, net = one_period_latency_ms(batch)
         rows.append(dict(batch=batch, latency_ms=round(lat, 3),
                          net_ms=round(net, 3),
                          meets_budget=bool(lat <= BUDGET_MS),
@@ -85,7 +94,7 @@ def main(max_batch: int = 16384):
     fit = [r["batch"] for r in rows if r["meets_budget"]]
     fit_net = [r["batch"] for r in rows if r["meets_budget_net"]]
     rep = dict(config="latency", budget_ms=BUDGET_MS,
-               dispatch_overhead_ms=round(overhead, 3),
+               dispatch_overhead_ms=round(floor, 3),
                backend=jax.default_backend(), rows=rows,
                max_batch_within_budget=max(fit) if fit else 0,
                max_batch_within_budget_net=max(fit_net) if fit_net else 0)
