@@ -12,13 +12,18 @@ Layer map (reference SURVEY.md §1 -> here):
     ConvexMPCLocomotion                -> mpc
     GaitGenerator                      -> gait
     convexMPC_interface + SolverMPC    -> qp.builder + srbd + constraints
-    qpOASES                            -> qp.pdip + qp.pallas_chol
+    qpOASES                            -> qp.riccati + qp.pallas_riccati
+                                          (production; dense oracle path:
+                                          qp.pdip + qp.pallas_chol)
     LegController / kinematics         -> kinematics, control
     SwingLegController + FootSwing...  -> swing
-    estimators                         -> control.estimate_state
+    estimators                         -> estimation (cheater / IIR /
+                                          contact-aided IMU-driven KF)
     CheatIO / ROS topics               -> (gone: single jitted program)
-    KeyBoard teleop                    -> io.scenarios + cli
-    Gazebo plant                       -> plant.srb
+    KeyBoard teleop                    -> io.keyboard + cli
+    Gazebo GUI / rviz / force-draw     -> io.live (ANSI viewer) + io.viz
+    Gazebo plant                       -> plant.srb (tier 1) +
+                                          plant.whole_body (tier 2, RNEA)
     checkpoints / metrics / viz        -> io.*
     scenario DP / collectives          -> parallel
 """
