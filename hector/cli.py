@@ -100,14 +100,19 @@ def cmd_bench(args):
 def cmd_teleop(args):
     """Interactive closed-loop teleop (the KeyBoard/CmdPanel experience):
     wasd/jl steer, space stops, q quits.  One MPC period (5 ms sim time)
-    per loop iteration; status line shows pose + command."""
+    per loop iteration; --live renders the ANSI side-view each period
+    (keyboard + live viewer together = the Gazebo-GUI experience),
+    otherwise a one-line status ticker."""
     _cpu_backend(args)
+    import numpy as np
     import jax
     from . import runtime as RT
+    from . import math as hm
     from . import worlds
     from .plant import srb
     from .config import DEFAULT_CONFIG
     from .io import keyboard as KB
+    from .io import live
 
     CFG, terrain = worlds.apply(args.world, DEFAULT_CONFIG)
     plant = srb.init_plant_state(CFG)
@@ -130,11 +135,24 @@ def cmd_teleop(args):
                 step_length=terrain.step_length)
             carry, plant, diags = roll(carry, plant, cmd)
             t += CFG.mpc.dt * CFG.mpc.mpc_cadence
-            p = plant.position
-            print(f"\rt={t:7.2f}s  x={float(p[0]):+6.2f} "
-                  f"y={float(p[1]):+6.2f} z={float(p[2]):5.2f}  "
-                  f"cmd vx={vx:+5.2f} vy={vy:+5.2f} wz={yaw_rate:+5.2f}  ",
-                  end="", flush=True)
+            if args.live:
+                hips_w, feet_w, contact = live.frame_geometry(plant, CFG)
+                fz = np.asarray(diags["wrench"], float)[0, :, 2]
+                frame = live.render_frame(
+                    np.asarray(plant.position),
+                    np.asarray(hm.quat_to_rpy(plant.quat)),
+                    hips_w, feet_w, contact, fz, t,
+                    f"cmd vx={vx:+5.2f} vy={vy:+5.2f} wz={yaw_rate:+5.2f}"
+                    f"  (wasd/jl steer, q quits)",
+                    step_height=float(terrain.step_height),
+                    step_length=float(terrain.step_length))
+                print(live.ANSI_HOME + frame, flush=True)
+            else:
+                p = plant.position
+                print(f"\rt={t:7.2f}s  x={float(p[0]):+6.2f} "
+                      f"y={float(p[1]):+6.2f} z={float(p[2]):5.2f}  "
+                      f"cmd vx={vx:+5.2f} vy={vy:+5.2f} "
+                      f"wz={yaw_rate:+5.2f}  ", end="", flush=True)
     print()
 
 
@@ -240,6 +258,8 @@ def main(argv=None):
 
     t = sub.add_parser("teleop", help="interactive keyboard teleop")
     t.add_argument("--world", default="normal")
+    t.add_argument("--live", action="store_true",
+                   help="render the live ANSI side-view each period")
     t.set_defaults(fn=cmd_teleop)
 
     v = sub.add_parser("view", help="live ANSI view of a running sim")

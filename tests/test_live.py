@@ -54,3 +54,31 @@ def test_view_command_runs():
     out = buf.getvalue()
     assert out.count(live.ANSI_HOME) == 10          # 10 periods of 5 ms
     assert "Fz=" in out and "O" in out
+
+
+def test_teleop_live_headless(monkeypatch):
+    """``hector teleop --live`` driven headless through a fake terminal:
+    keys steer, frames render, q quits."""
+    from hector import cli
+    from hector.io import keyboard as KB
+
+    class FakeTerm:
+        def __init__(self):
+            self.keys = ["w", "w", None, None, "q"]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            pass
+
+        def poll_key(self, timeout=0.0):
+            return self.keys.pop(0) if self.keys else "q"
+
+    monkeypatch.setattr(KB, "RawTerminal", lambda: FakeTerm())
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli.main(["teleop", "--live"])
+    out = buf.getvalue()
+    assert out.count(live.ANSI_HOME) == 4      # one frame per period
+    assert "O" in out and "Fz=" in out
