@@ -40,7 +40,18 @@ def main():
     from hector.plant import srb
     from hector.config import DEFAULT_CONFIG as CFG
 
-    batch = 4096
+    try:
+        from benchmarks._cache import enable_cache
+        enable_cache()
+    except Exception:
+        pass
+
+    # 32768 is the measured near-saturation point of the v5e chip for the
+    # full pipeline (677k @ 4096 -> 952k @ 8192 -> 1.19M @ 16384 ->
+    # 1.34M @ 32768 -> +2.7% at 65536); the throughput-vs-batch curve is
+    # recorded in perf/parts/config5.json and the latency-constrained
+    # operating points in perf/parts/latency.json.
+    batch = 32768
     chain_len = 8
     n_devices = jax.local_device_count()
 
