@@ -177,7 +177,10 @@ def config4_sharded(batch: int = 32768, seconds: float = 0.25) -> dict:
 
     mesh = PAR.data_mesh()
     n_dev = mesh.devices.size
-    batch = min(batch, 4096 * n_dev)
+    # 16384/chip is the measured near-saturation batch (config5 curve);
+    # the BASELINE config-4 point (32k/8 chips) is 4096/chip -- on fewer
+    # devices the run saturates each chip instead of starving it
+    batch = min(batch, 16384 * n_dev)
     carry, plant, _ = PAR.make_batch(batch, cfg=CFG, mesh=mesh)
     cmd = PAR.shard_batch(
         SC.random_commands(jax.random.PRNGKey(0), batch), mesh)
