@@ -269,3 +269,29 @@ def test_cli_run_whole_body_kf():
     out = _json.loads(buf.getvalue())
     assert out["fallen_frac"] == 0.0
     assert out["min_height"] > 0.5
+
+
+def test_whole_body_speed_envelope():
+    """The articulated plant walks the reference's full forward command
+    envelope (vx up to 0.75, FSMState_Walking.cpp:30) and backward, 3 s
+    each, with the documented proportional steady-state response (the
+    9 kg MPC-model-mass quirk leaves ~60-65% of command at the top end)."""
+    roll = RT.make_rollout_whole_body(600, cfg=CFG, batched=True)
+    B = 3
+    plant1 = WB.init_whole_body_state(height=0.545)
+    carry1 = RT.init_controller_carry(RT.whole_body_observation(plant1), CFG)
+    tile = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+    plant = jax.tree.map(tile, plant1)
+    carry = jax.tree.map(tile, carry1)
+    cmds = [RT.walking_command(vx=0.6), RT.walking_command(vx=0.75),
+            RT.walking_command(vx=-0.4)]
+    cmd = jax.tree.map(lambda *xs: jnp.stack(xs), *cmds)
+    c, p, d = roll(carry, plant, cmd)
+    vx = np.asarray(d['vx'])
+    assert not np.asarray(d['fallen']).any()
+    assert np.asarray(d['height']).min() > 0.45
+    assert vx[0, -100:].mean() > 0.3           # 0.6 command
+    assert vx[1, -100:].mean() > 0.4           # 0.75 command
+    assert vx[1, -100:].mean() > vx[0, -100:].mean()   # monotone response
+    assert vx[2, -100:].mean() < -0.15         # backward
+    assert float(p.position[1, 0]) > 1.2       # 0.75: real distance covered
