@@ -180,6 +180,7 @@ def config4_sharded(batch: int = 32768, seconds: float = 0.25) -> dict:
     # 16384/chip is the measured near-saturation batch (config5 curve);
     # the BASELINE config-4 point (32k/8 chips) is 4096/chip -- on fewer
     # devices the run saturates each chip instead of starving it
+    requested_batch = batch
     batch = min(batch, 16384 * n_dev)
     carry, plant, _ = PAR.make_batch(batch, cfg=CFG, mesh=mesh)
     cmd = PAR.shard_batch(
@@ -190,7 +191,8 @@ def config4_sharded(batch: int = 32768, seconds: float = 0.25) -> dict:
                      rewire=lambda out, a: (out[0], out[1], a[2]))
     solves = batch * n_periods
     carry, plant, metrics = roll(carry, plant, cmd)
-    return dict(config="sharded_host", batch=batch, devices=int(n_dev),
+    return dict(config="sharded_host", batch=batch,
+                requested_batch=requested_batch, devices=int(n_dev),
                 closed_loop_solves_per_s=solves / dt,
                 fallen_count=float(metrics["fallen_count"]),
                 passed=True)

@@ -54,11 +54,12 @@ def render(doc: dict, weak: dict | None, src_name: str) -> str:
         for k, v in rf.items():
             a(f"| {k} | {_fmt(v, 3) if isinstance(v, float) else v} |")
         a("")
-        sol = rf.get("speed_of_light_solves_per_s")
-        meas = rf.get("measured_solves_per_s")
-        if sol and meas:
+        frac = rf.get("fraction_of_speed_of_light")
+        if frac:
+            kind = ("measured" if "speed_of_light_compute_measured" in rf
+                    else "analytic")
             a(f"The fused Riccati kernel sustains "
-              f"**{100.0 * meas / sol:.0f}% of the analytic "
+              f"**{100.0 * frac:.0f}% of the {kind} "
               f"speed-of-light** for its bytes/FLOPs mix.")
     a("")
 

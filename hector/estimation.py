@@ -70,7 +70,8 @@ def noisy_sensors(key, plant, noise: SensorNoise = SensorNoise()):
     return pos, vel, quat, gyro
 
 
-def imu_accel(key, plant, prev_v, dt, noise: SensorNoise = SensorNoise()):
+def imu_accel(key, plant, prev_v, dt, noise: SensorNoise = SensorNoise(),
+              gravity: float = 9.81):
     """Body-frame accelerometer (specific force) measurement.
 
     The true specific force over the last tick is the finite difference of
@@ -78,10 +79,12 @@ def imu_accel(key, plant, prev_v, dt, noise: SensorNoise = SensorNoise()):
     over one sample) minus gravity, rotated into the body frame, plus
     Gaussian noise -- the IMU channel the reference's LowlevelState carries
     (include/messages/LowlevelState.h IMU.acc) but its cheater estimators
-    never consume."""
+    never consume.  ``gravity`` must be the plant's own constant
+    (cfg.plant.gravity) so the sensor model and the estimator's
+    gravity compensation agree in non-earth worlds (worlds.py)."""
     dtype = plant.position.dtype
     a_true = (plant.v_world - prev_v) / dt
-    g_w = jnp.asarray([0.0, 0.0, -9.81], dtype)
+    g_w = jnp.asarray([0.0, 0.0, -gravity], dtype)
     r_bw = hm.quat_to_rot(plant.quat)                  # body->world (true)
     f_body = r_bw.T @ (a_true - g_w)
     return f_body + noise.accel_std * jax.random.normal(key, (3,), dtype)
@@ -298,7 +301,8 @@ def est_update(kind: str, state: EstimatorState, plant, cfg,
     # force gravity-compensated through the MEASURED orientation; the direct
     # world pos/vel channels are never consumed on this path.
     dtype = plant.position.dtype
-    f_body_m = imu_accel(sub_a, plant, state.prev_v, cfg.plant.dt, noise)
+    f_body_m = imu_accel(sub_a, plant, state.prev_v, cfg.plant.dt, noise,
+                         gravity=cfg.plant.gravity)
     rel, rel_vel = _rel_feet_body(plant, cfg)
     r_body = jnp.swapaxes(hm.quat_to_rot(quat_m), -1, -2)
     omega_body = r_body @ gyro_m

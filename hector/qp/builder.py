@@ -88,7 +88,7 @@ class StageQPParts(NamedTuple):
     full (13,13)/(13,12) a_dt/b_dt anyway; assembling those full matrices
     costs ~3x the QP solve itself in padded tiny-tensor traffic (measured,
     benchmarks/pipeline_split.py), so the production path builds only the
-    slices.  Values are EXACTLY those slices (tests/test_qp.py
+    slices.  Values are EXACTLY those slices (tests/test_riccati.py
     test_parts_build_matches_stage_slices):
 
       s69  = a_dt[0:3, 6:9]          = dt * euler_rate

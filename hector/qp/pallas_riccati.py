@@ -129,7 +129,7 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
 
     def bmatvec(mk, du):
         """y = (Bcd diag(mk)) du; mk (NU,S,L) stage mask, du (NU,S,L)."""
-        dum = umasked = du * mk
+        dum = du * mk
         y = [jnp.zeros_like(x0[0]) for _ in range(NX)]
         for r in range(3):
             y[6 + r] = jnp.sum(b69[r] * dum, axis=0)
@@ -209,9 +209,6 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
             # blocks (leg rows touch only that leg's F and M columns)
             dk = d_row[k]
             rq = [[None] * NU for _ in range(NU)]
-            for i in range(NU):
-                for j in range(NU):
-                    rq[i][j] = None
             for leg in range(2):
                 rows = range(8 * leg, 8 * leg + 8)
                 cols = ([0, 1, 2, 6, 7, 8] if leg == 0
@@ -228,8 +225,7 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
                 for j in range(NU):
                     if rq[i][j] is None:
                         rq[i][j] = zero
-                if True:
-                    rq[i][i] = rq[i][i] + (r2[i] + reg)
+                rq[i][i] = rq[i][i] + (r2[i] + reg)
 
             # bp = diag(mk) Bcd^T P  (NU rows of (NX,S,L))
             bp = []
