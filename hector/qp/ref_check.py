@@ -88,3 +88,117 @@ def solve_qpdata(qp, **kw) -> np.ndarray:
     for i in range(h):
         a[16 * i:16 * (i + 1), 12 * i:12 * (i + 1)] = c
     return solve_dense(h_mat, g_vec, a, lb, ub, **kw)
+
+
+# ---------------------------------------------------------------------------
+# The ACTUAL qpOASES (compiled out-of-tree from the read-only reference
+# checkout) -- closes the literal BASELINE line "force trajectories within
+# 1e-3 N of qpOASES": the certified-optimum fixtures above are the
+# mathematically stronger check, but this one runs the very solver binary
+# the reference runs (SolverMPC.cpp:702-712 usage, reproduced by
+# native/qpoases_bridge.cpp).
+
+QPOASES_REF_DIR = os.environ.get(
+    "HECTOR_QPOASES_DIR",
+    "/root/reference/Hector_ROS_Simulation/hector_control/third_party/"
+    "qpOASES")
+_QPOASES_LIB = None
+
+
+def qpoases_available() -> bool:
+    return os.path.isdir(os.path.join(QPOASES_REF_DIR, "src"))
+
+
+def _build_qpoases() -> str:
+    """Compile the vendored qpOASES sources + our bridge into one shared
+    library under native/build/ (sources stay in the read-only reference
+    tree; only object code lands here)."""
+    import glob
+    build_dir = os.path.join(_NATIVE_DIR, "build")
+    os.makedirs(build_dir, exist_ok=True)
+    lib_path = os.path.join(build_dir, "libqpoases_bridge.so")
+    bridge = os.path.join(_NATIVE_DIR, "qpoases_bridge.cpp")
+    srcs = sorted(glob.glob(os.path.join(QPOASES_REF_DIR, "src", "*.cpp")))
+    if not srcs:
+        raise RuntimeError(f"no qpOASES sources under {QPOASES_REF_DIR}")
+    newest = max(os.path.getmtime(s) for s in srcs + [bridge])
+    if (not os.path.exists(lib_path)
+            or os.path.getmtime(lib_path) < newest):
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC",
+             "-I", os.path.join(QPOASES_REF_DIR, "include"),
+             "-D__SUPPRESSANYOUTPUT__",
+             "-o", lib_path, bridge] + srcs,
+            check=True, capture_output=True)
+    return lib_path
+
+
+def _qpoases():
+    global _QPOASES_LIB
+    if _QPOASES_LIB is None:
+        _QPOASES_LIB = ctypes.CDLL(_build_qpoases())
+        _QPOASES_LIB.qpoases_solve.restype = ctypes.c_int
+        _QPOASES_LIB.qpoases_solve.argtypes = [
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+        ]
+    return _QPOASES_LIB
+
+
+def qpoases_solve_dense(h_mat, g_vec, a_mat, lb, ub,
+                        nwsr: int = 500) -> np.ndarray:
+    """min 1/2 x^T H x + g^T x  s.t.  lb <= A x <= ub, via the reference's
+    qpOASES under its exact options (setToMPC, PL_NONE, nWSR=500)."""
+    h = np.ascontiguousarray(h_mat, np.float64)
+    g = np.ascontiguousarray(g_vec, np.float64)
+    a = np.ascontiguousarray(a_mat, np.float64)
+    lo = np.ascontiguousarray(lb, np.float64)
+    hi = np.ascontiguousarray(ub, np.float64)
+    n, m = g.shape[0], lo.shape[0]
+    x = np.zeros(n, np.float64)
+    nwsr_used = ctypes.c_int(0)
+    p = lambda arr: arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    rc = _qpoases().qpoases_solve(n, m, p(h), p(g), p(a), p(lo), p(hi),
+                                  nwsr, p(x), ctypes.byref(nwsr_used))
+    if rc != 0:
+        raise RuntimeError(f"qpOASES init failed returnValue={rc}")
+    return x
+
+
+def solve_qpdata_qpoases(qp, gait, nwsr: int = 500) -> np.ndarray:
+    """Solve a hector QPData with the reference's qpOASES, INCLUDING its
+    swing-variable elimination (SolverMPC.cpp:589-697): for every
+    (step, leg) with gait==0 the leg's 6 variables and 8 constraint rows
+    are removed before the solve and its forces scattered back as zeros --
+    the reduced problem is exactly what the reference hands qpOASES.
+    Returns the full (12h,) solution."""
+    h_full = np.asarray(qp.h_mat, np.float64)
+    g_full = np.asarray(qp.g_vec, np.float64)
+    c = np.asarray(qp.c_block, np.float64)
+    lb = np.asarray(qp.lb, np.float64)
+    ub = np.asarray(qp.ub, np.float64)
+    gait = np.asarray(gait)
+    h = lb.shape[-2]
+    n = g_full.shape[0]
+    keep_v = np.ones(n, bool)
+    keep_c = np.ones(16 * h, bool)
+    for i in range(h):
+        for leg in range(2):
+            if gait[i, leg] == 0:
+                # vars: F(3) at 12i+3*leg, M(3) at 12i+6+3*leg
+                keep_v[12 * i + 3 * leg:12 * i + 3 * leg + 3] = False
+                keep_v[12 * i + 6 + 3 * leg:12 * i + 9 + 3 * leg] = False
+                keep_c[16 * i + 8 * leg:16 * i + 8 * leg + 8] = False
+    a_full = np.zeros((16 * h, n))
+    for i in range(h):
+        a_full[16 * i:16 * (i + 1), 12 * i:12 * (i + 1)] = c
+    x_red = qpoases_solve_dense(
+        h_full[np.ix_(keep_v, keep_v)], g_full[keep_v],
+        a_full[np.ix_(keep_c, keep_v)],
+        lb.reshape(-1)[keep_c], ub.reshape(-1)[keep_c], nwsr)
+    x = np.zeros(n)
+    x[keep_v] = x_red
+    return x
