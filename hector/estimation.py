@@ -10,20 +10,27 @@ compose with the same rollout and batch over scenarios.
 Provided:
 
 - ``cheater``: exact passthrough (the reference's configuration);
-- ``noisy_sensors`` + ``imu_accel``: a sensor model producing IMU-style
-  measurements (quat, gyro, body-frame specific force, plus direct
-  position/velocity proxies used only by the staged 'filtered' kind) with
-  configurable Gaussian noise -- the batched stand-in for Gazebo's sensor
-  plugins;
+- ``noisy_sensors`` + ``imu_accel`` + ``gyro_body_meas``: a sensor model
+  producing IMU-style measurements (body-frame rate gyro with a constant
+  per-lane bias, body-frame specific force, plus direct quat/pos/vel
+  proxies used ONLY by the staged 'filtered' kind) with configurable
+  Gaussian noise -- the batched stand-in for Gazebo's sensor plugins;
 - ``filtered``: first-order IIR low-pass on the noisy velocity/position
   channels (the FirstOrderIIRFilter.h capability of the reference,
   include/common/Math/FirstOrderIIRFilter.h);
+- ``mahony_*``: a gyro-integrating Mahony orientation filter with
+  accelerometer gravity correction and bias estimation -- the real
+  estimator for the container's OrientationEstimator slot
+  (src/common/OrientationEstimator.cpp is a cheater in the reference);
 - ``kf_*``: a contact-aided linear Kalman filter over [p, v, p_feet]
   (the classic legged-robot position/velocity KF that the reference's
   PositionVelocityEstimator slot is designed to host -- its cheater
   implementation copies ground truth at PositionVelocityEstimator.cpp:5-13,
   while the container API anticipates real estimators).  Fixed shapes,
   12-dim state / 14-dim measurement, batched with vmap.
+
+The 'kf' kind composes mahony + kf into the fully sensor-honest path:
+gyro + accelerometer + joint encoders + contact flags are the only inputs.
 """
 
 from __future__ import annotations
@@ -43,6 +50,7 @@ class SensorNoise(NamedTuple):
     gyro_std: float = 0.01
     quat_std: float = 0.002   # small-angle noise, radians
     accel_std: float = 0.05   # accelerometer, m/s^2 (body-frame channels)
+    gyro_bias_std: float = 0.005  # per-lane constant gyro bias, rad/s
 
 
 def noisy_sensors(key, plant, noise: SensorNoise = SensorNoise()):
@@ -90,6 +98,18 @@ def imu_accel(key, plant, prev_v, dt, noise: SensorNoise = SensorNoise(),
     return f_body + noise.accel_std * jax.random.normal(key, (3,), dtype)
 
 
+def gyro_body_meas(key, plant, bias, noise: SensorNoise = SensorNoise()):
+    """Body-frame rate gyro: what a strapdown IMU actually measures (the
+    reference's LowlevelState IMU.gyro channel) -- true body rate plus a
+    constant per-lane bias plus white noise.  The honest 'kf' path consumes
+    THIS channel (not noisy_sensors' world-frame gyro proxy)."""
+    dtype = plant.position.dtype
+    r_bw = hm.quat_to_rot(plant.quat)
+    w_body = r_bw.T @ plant.omega_world
+    return w_body + bias + noise.gyro_std * jax.random.normal(
+        key, (3,), dtype)
+
+
 def cheater(plant) -> C.StateEstimate:
     """Ground-truth passthrough (the reference's cheater estimators)."""
     return C.estimate_state(plant.position, plant.v_world, plant.quat,
@@ -119,6 +139,62 @@ def filtered(state: FilterState, pos_meas, vel_meas, quat_meas, gyro_meas,
     vel = state.vel + alpha * (vel_meas - state.vel)
     est = C.estimate_state(pos, vel, quat_meas, gyro_meas)
     return FilterState(pos=pos, vel=vel), est
+
+
+# ---------------------------------------------------------------------------
+# Mahony complementary orientation filter
+#
+# The reference's estimator container reserves a dedicated orientation-
+# estimator slot (src/common/OrientationEstimator.cpp,
+# include/common/StateEstimatorContainer.h:110-137) whose shipped
+# implementation is a cheater (copies the Gazebo quaternion).  This is the
+# real thing that slot is designed to host: gyro propagation at 1 kHz with
+# an accelerometer gravity-direction correction and gyro-bias estimation
+# (Mahony, Hamel & Pflimlin 2008) -- it consumes ONLY gyro + accelerometer,
+# so the honest 'kf' estimator path needs no direct orientation sensor.
+#
+# Observability, documented: yaw (rotation about gravity) is unobservable
+# from the accelerometer, so the yaw channel is pure gyro integration --
+# it drifts with the (estimated-away roll/pitch components of the) gyro
+# bias and random-walks with gyro noise.  Tests pin the drift envelope.
+
+
+class MahonyState(NamedTuple):
+    quat: jnp.ndarray          # (4,) wxyz, estimated body->world
+    bias: jnp.ndarray          # (3,) estimated gyro bias, body frame
+
+
+def mahony_init(dtype=jnp.float32) -> MahonyState:
+    """Initial alignment: identity attitude, zero bias.  Scenario lanes
+    launch level at yaw 0 (init_plant_state / init_whole_body_state), the
+    standard initial-alignment assumption; a lane starting tilted converges
+    through the accelerometer term at the kp time constant."""
+    return MahonyState(quat=jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype),
+                       bias=jnp.zeros(3, dtype))
+
+
+def mahony_update(m: MahonyState, gyro_b, f_body, dt,
+                  kp: float = 2.0, ki: float = 0.3,
+                  gravity: float = 9.81) -> MahonyState:
+    """One 1 kHz step: propagate the quaternion with the bias-corrected
+    body rate, corrected toward the accelerometer's gravity direction.
+
+    The accelerometer term is gated by how close |f| is to g (during hard
+    accelerations the specific force is not the gravity direction, so the
+    correction is distrusted -- the standard dynamic-acceleration gate).
+    """
+    dtype = m.quat.dtype
+    r_bw = hm.quat_to_rot(m.quat)
+    v_hat = r_bw.T @ jnp.asarray([0.0, 0.0, 1.0], dtype)  # predicted up
+    f_norm = jnp.linalg.norm(f_body)
+    v_meas = f_body / jnp.maximum(f_norm, 1e-6)            # measured up
+    gate = jnp.clip(1.0 - 2.0 * jnp.abs(f_norm - gravity) / gravity,
+                    0.0, 1.0)
+    err = jnp.cross(v_meas, v_hat) * gate
+    bias = m.bias - ki * dt * err
+    w_corr = gyro_b - bias + kp * err                      # body frame
+    quat = hm.quat_integrate(m.quat, r_bw @ w_corr, dt)
+    return MahonyState(quat=quat, bias=bias)
 
 
 # ---------------------------------------------------------------------------
@@ -247,6 +323,8 @@ class EstimatorState(NamedTuple):
     key: jnp.ndarray           # PRNG key for the sensor noise model
     filt: FilterState
     kf: KFState
+    mahony: MahonyState        # orientation filter (the honest 'kf' path)
+    gyro_bias: jnp.ndarray     # (3,) TRUE per-lane gyro bias (sensor model)
     prev_v: jnp.ndarray        # (3,) last-tick true v_world (IMU model)
 
 
@@ -263,57 +341,86 @@ def _rel_feet_body(plant, cfg):
     return rel, rel_vel
 
 
-def est_init(plant, key, cfg) -> EstimatorState:
+def est_init(plant, key, cfg,
+             noise: SensorNoise = SensorNoise()) -> EstimatorState:
     rel, _ = _rel_feet_body(plant, cfg)
     r_body = jnp.swapaxes(hm.quat_to_rot(plant.quat), -1, -2)
     p_feet_w = plant.position[None, :] + rel @ r_body
+    key, k_bias = jax.random.split(key)
+    dtype = plant.position.dtype
     return EstimatorState(
         key=key,
         filt=init_filter_state(plant),
         kf=kf_init(plant.position, plant.v_world, p_feet_w),
+        mahony=mahony_init(dtype),
+        gyro_bias=noise.gyro_bias_std * jax.random.normal(
+            k_bias, (3,), dtype),
         prev_v=plant.v_world)
 
 
 def est_update(kind: str, state: EstimatorState, plant, cfg,
-               noise: SensorNoise = SensorNoise(), ground_z: float = 0.0):
+               noise: SensorNoise = SensorNoise(), ground_z: float = 0.0,
+               terrain=None):
     """One 1 kHz estimator tick.  kind is STATIC ('cheater' | 'filtered' |
     'kf'); returns (new EstimatorState, StateEstimate).
 
     ground_z: the height the KF expects the FK FOOT POINT to sit at when
-    planted -- a fixed calibration constant of the foot model, NOT runtime
-    ground truth.  0 for the tier-1 plant (stance anchors pin the FK foot
-    to z=0); the articulated plant's toe-box geometry leaves the FK point
-    ~6.8 cm above the ground plane (plant/whole_body.py
-    FK_FOOT_CLEARANCE)."""
+    planted ON FLAT GROUND -- a fixed calibration constant of the foot
+    model, NOT runtime ground truth.  0 for the tier-1 plant (stance
+    anchors pin the FK foot to z=0); the articulated plant's toe-box
+    geometry leaves the FK point ~6.8 cm above the ground plane
+    (plant/whole_body.py FK_FOOT_CLEARANCE).
+
+    terrain: optional (step_height, step_length) heightfield parameters --
+    the terrain MAP the scenario commands (ScenarioCommand.terrain_*), the
+    batched analog of a perception-provided heightmap.  The KF's foot-height
+    measurement is evaluated at each foot's OWN prior x estimate (no ground
+    truth consumed): expected foot z = h(x̂_foot) + ground_z.  None = flat.
+    """
     if kind not in KINDS:
         raise ValueError(f'unknown estimator kind {kind!r}; expected {KINDS}')
     if kind == 'cheater':
         return state, cheater(plant)
 
     key, sub, sub_a = jax.random.split(state.key, 3)
-    pos_m, vel_m, quat_m, gyro_m = noisy_sensors(sub, plant, noise)
 
     if kind == 'filtered':
+        pos_m, vel_m, quat_m, gyro_m = noisy_sensors(sub, plant, noise)
         filt, est = filtered(state.filt, pos_m, vel_m, quat_m, gyro_m)
         return state._replace(key=key, filt=filt), est
 
-    # kind == 'kf': IMU-driven -- the process input is the measured specific
-    # force gravity-compensated through the MEASURED orientation; the direct
-    # world pos/vel channels are never consumed on this path.
+    # kind == 'kf': sensor-honest -- the ONLY channels consumed are the
+    # body-frame rate gyro, the body-frame specific force, joint encoders
+    # (q, qd) and the contact flags.  Orientation comes from the Mahony
+    # filter (gyro propagation + accelerometer gravity correction), never
+    # from a direct quaternion measurement; position/velocity come from the
+    # contact-aided KF driven by the Mahony attitude.
     dtype = plant.position.dtype
+    gyro_b_m = gyro_body_meas(sub, plant, state.gyro_bias, noise)
     f_body_m = imu_accel(sub_a, plant, state.prev_v, cfg.plant.dt, noise,
                          gravity=cfg.plant.gravity)
+    mah = mahony_update(state.mahony, gyro_b_m, f_body_m, cfg.plant.dt,
+                        gravity=cfg.plant.gravity)
+    r_bw_est = hm.quat_to_rot(mah.quat)            # body->world (estimated)
+    omega_b_est = gyro_b_m - mah.bias
+    omega_w_est = r_bw_est @ omega_b_est
+
     rel, rel_vel = _rel_feet_body(plant, cfg)
-    r_body = jnp.swapaxes(hm.quat_to_rot(quat_m), -1, -2)
-    omega_body = r_body @ gyro_m
     g_w = jnp.asarray([0.0, 0.0, -cfg.plant.gravity], dtype)
-    accel_world = r_body.T @ f_body_m + g_w
+    accel_world = r_bw_est @ f_body_m + g_w
+    if terrain is None:
+        gz = jnp.broadcast_to(jnp.asarray(ground_z, dtype), (2,))
+    else:
+        from .plant.srb import terrain_height
+        foot_x_est = state.kf.x[jnp.asarray([6, 9])]   # prior foot x
+        gz = terrain_height(foot_x_est, terrain[0], terrain[1]) + ground_z
     kf = kf_update(
         state.kf,
         accel_world=accel_world,
-        r_body=r_body, rel_body=rel, rel_vel_body=rel_vel,
-        omega_body=omega_body,
+        r_body=r_bw_est.T, rel_body=rel, rel_vel_body=rel_vel,
+        omega_body=omega_b_est,
         contact=plant.contact.astype(dtype),
-        dt=cfg.plant.dt, ground_z=ground_z)
-    est = kf_estimate(kf, quat_m, gyro_m)
-    return state._replace(key=key, kf=kf, prev_v=plant.v_world), est
+        dt=cfg.plant.dt, ground_z=gz)
+    est = kf_estimate(kf, mah.quat, omega_w_est)
+    return state._replace(key=key, kf=kf, mahony=mah,
+                          prev_v=plant.v_world), est

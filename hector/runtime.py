@@ -168,8 +168,12 @@ def controller_tick(carry: ControllerCarry, plant: srb.PlantState,
     offsets = jnp.asarray(JOINT_OFFSETS, dtype)
 
     # --- state estimation (StateEstimatorContainer::run analog) ---
-    est_state, est = EST.est_update(estimator, carry.est, plant, cfg,
-                                    ground_z=est_ground_z)
+    # The KF's foot-height rows consume the commanded terrain MAP (the
+    # perception-heightmap analog), evaluated at the filter's own foot-x
+    # estimates -- never the plant's runtime ground truth.
+    est_state, est = EST.est_update(
+        estimator, carry.est, plant, cfg, ground_z=est_ground_z,
+        terrain=(cmd.terrain_step_height, cmd.terrain_step_length))
     mode = C.apply_safety(carry.mode, est)
 
     # --- LegController::updateData (+ the data.q mutation quirk) ---

@@ -219,3 +219,64 @@ def test_kf_integrates_accel_through_flight():
     kf, _ = jax.lax.scan(step, kf, None, length=200)   # 0.2 s
     np.testing.assert_allclose(float(kf.x[3]), 0.3, atol=5e-3)   # v = a t
     np.testing.assert_allclose(float(kf.x[0]), 0.03, atol=2e-3)  # p = a t²/2
+
+
+# ---------------------------------------------------------------------------
+# Mahony orientation filter (the real OrientationEstimator-slot estimator)
+# ---------------------------------------------------------------------------
+
+
+def test_mahony_converges_with_gyro_bias():
+    """Static case: tilted truth, identity init, constant gyro bias.  The
+    filter must recover roll/pitch to sub-mrad, estimate the observable
+    (xy) bias components, and drift in yaw at exactly the unobservable
+    z-bias rate."""
+    from hector import math as hm
+    rpy_true = jnp.asarray([0.06, -0.04, 0.0])
+    r_bw = hm.quat_to_rot(hm.rpy_to_quat(rpy_true))
+    bias = jnp.asarray([0.004, -0.003, 0.002])
+    f_body = r_bw.T @ jnp.asarray([0.0, 0.0, 9.81])
+
+    def step(m, _):
+        return E.mahony_update(m, bias, f_body, 0.001), None
+
+    m, _ = jax.lax.scan(step, E.mahony_init(f_body.dtype), None,
+                        length=30000)
+    err = np.asarray(hm.quat_to_rpy(m.quat)) - np.asarray(rpy_true)
+    assert np.abs(err[:2]).max() < 1e-3            # roll/pitch recovered
+    assert abs(err[2] - 0.002 * 30.0) < 0.01       # yaw = z-bias * t drift
+    np.testing.assert_allclose(np.asarray(m.bias[:2]),
+                               np.asarray(bias[:2]), atol=3e-4)
+
+
+def test_mahony_accel_gate_rejects_dynamic_acceleration():
+    """During a hard acceleration (|f| far from g) the accelerometer
+    correction must be gated off: attitude follows pure gyro integration
+    instead of chasing the bogus gravity direction."""
+    # |f| ~ 15.5 m/s^2: |.|f|-g| beyond the g/2 gate cutoff -> weight 0
+    f_dynamic = jnp.asarray([12.0, 0.0, 9.81])
+
+    def step(m, _):
+        return E.mahony_update(m, jnp.zeros(3), f_dynamic, 0.001), None
+
+    m, _ = jax.lax.scan(step, E.mahony_init(f_dynamic.dtype), None,
+                        length=1000)
+    from hector import math as hm
+    # without the gate this would pitch ~0.68 rad toward the bogus "up"
+    assert np.abs(np.asarray(hm.quat_to_rpy(m.quat))).max() < 1e-4
+
+
+def test_kf_path_never_consumes_direct_pose_channels(monkeypatch):
+    """Sensor honesty, structurally: the 'kf' estimator kind must never
+    call noisy_sensors (the direct quat/pos/vel proxy channels)."""
+    def boom(*a, **k):
+        raise AssertionError("kf path consumed noisy_sensors")
+    monkeypatch.setattr(E, 'noisy_sensors', boom)
+    plant = srb.init_plant_state(CFG)
+    state = E.est_init(plant, jax.random.PRNGKey(0), CFG)
+    state2, est = E.est_update('kf', state, plant, CFG)
+    assert np.isfinite(np.asarray(est.position)).all()
+    # ... while 'filtered' (the documented staging cheat) does use them
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        E.est_update('filtered', state, plant, CFG)

@@ -150,10 +150,13 @@ def test_fk_foot_clearance_calibration():
 
 
 def test_whole_body_kf_driven_walk_05():
-    """The r2 VERDICT bar: KF-driven (IMU + kinematics + the plant's own
-    contact flags -- no ground truth) 0.5 m/s walk on the articulated
-    plant, 3 s, with the estimate tracking truth in the observable
-    directions (x is the unobservable gauge mode)."""
+    """The r2 VERDICT bar, now fully sensor-honest: Mahony-orientation +
+    contact-aided-KF driven (body gyro with bias, specific force, joint
+    encoders, the plant's own contact flags -- NO direct quaternion or
+    pos/vel channel) 0.5 m/s walk on the articulated plant, 3 s, with the
+    estimate tracking truth in the observable directions (x is the
+    unobservable gauge mode)."""
+    from hector import math as hm
     roll = RT.make_rollout_whole_body(600, cfg=CFG, batched=False,
                                       estimator='kf')
     carry, plant = _init_pair(key=jax.random.PRNGKey(5))
@@ -166,6 +169,33 @@ def test_whole_body_kf_driven_walk_05():
     assert abs(est[2] - tru[2]) < 0.02         # height observable
     assert abs(est[1] - tru[1]) < 0.03         # lateral observable
     assert abs(est[4] - tru[4]) < 0.05         # vy tracks
+    # orientation-error envelope: roll/pitch gravity-observable (< ~3 deg
+    # instantaneous mid-gait), yaw = gyro dead-reckoning (bias drift
+    # bounded over 3 s)
+    rpy_err = np.asarray(hm.quat_to_rpy(c.est.mahony.quat)) \
+        - np.asarray(hm.quat_to_rpy(p.quat))
+    assert np.abs(rpy_err[:2]).max() < 0.05
+    assert abs(rpy_err[2]) < 0.08
+
+
+def test_whole_body_kf_driven_stairs():
+    """Terrain-honest KF on the stairs heightfield: the filter's foot-
+    height rows consume the commanded terrain MAP evaluated at its OWN
+    foot-x estimates (never runtime ground truth; the perception-heightmap
+    analog).  The robot climbs 3 cm steps KF-driven for 2.5 s and the
+    height estimate follows the true climb."""
+    roll = RT.make_rollout_whole_body(500, cfg=CFG, batched=False,
+                                      estimator='kf')
+    carry, plant = _init_pair(key=jax.random.PRNGKey(11))
+    c, p, d = roll(carry, plant,
+                   RT.walking_command(vx=0.4, step_height=0.03,
+                                      step_length=0.5))
+    assert not np.asarray(d['fallen']).any()
+    assert float(p.position[0]) > 0.5          # climbs forward
+    assert float(p.position[2]) > 0.56         # true z rises with terrain
+    est = np.asarray(c.est.kf.x)
+    assert abs(est[2] - float(p.position[2])) < 0.02   # z tracked climbing
+    assert abs(est[1] - float(p.position[1])) < 0.03
 
 
 def test_whole_body_push_recovery():
