@@ -1,0 +1,154 @@
+"""Cycle accounting for the fused Riccati interior-point kernel.
+
+Answers VERDICT r3 weak-item 1's second half: WHERE do the cycles of the
+fused kernel go relative to the measured VPU speed-of-light?  Method:
+
+1. time vs ITERATIONS (7/14/28 at fixed batch): linear fit separates the
+   per-IP-iteration cost (slope) from the out-of-loop cost (intercept:
+   problem load, init, solution store, dispatch);
+2. time vs BATCH (1..64 tiles at fixed iterations): occupancy curve -- how
+   many 1024-lane tiles the chip needs in flight to hide latencies;
+3. op-mix anchor: the kernel's per-iteration work counted from the
+   algorithm (FMA flops vs divide/rsqrt ops), priced at the MEASURED FMA
+   and divide throughputs (benchmarks/vpu_peak.py) -- slow-path ops buy
+   far fewer ops/s, which is where most of the "missing" fraction goes.
+
+Run on the real chip:    python -m benchmarks.cycle_accounting
+Prints one JSON document (also usable via record()).
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _time_solver(sqp, scfg, q_diag, r_diag, chain_len: int = 16,
+                 reps: int = 3) -> float:
+    """Median seconds per batched solve (chained, value-unique,
+    fetch-synced -- the bench.py discipline)."""
+    from hector.qp import pallas_riccati
+
+    @jax.jit
+    def chained(key, sqp):
+        noise = 1e-5 * jax.random.normal(key, sqp.x0.shape, sqp.x0.dtype)
+        sqp = sqp._replace(x0=sqp.x0 + noise)
+
+        def body(s, _):
+            sol = pallas_riccati.solve_batched(s, scfg, q_diag=q_diag,
+                                               r_diag=r_diag)
+            s = s._replace(x0=s.x0.at[..., 9:12].add(1e-9 * sol.u[..., :3]))
+            return s, None
+
+        s, _ = jax.lax.scan(body, sqp, None, length=chain_len)
+        return jnp.sum(s.x0)
+
+    _ = float(np.asarray(chained(jax.random.PRNGKey(99), sqp)))
+    times = []
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        _ = float(np.asarray(chained(jax.random.PRNGKey(rep), sqp)))
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times) / chain_len
+
+
+def op_mix(iterations: int = 14, h: int = 10, nu: int = 12, nc: int = 16,
+           nx: int = 13) -> dict:
+    """Per-scenario per-solve op counts by VPU path, counted from the
+    kernel's loops (hector/qp/pallas_riccati.py):
+
+    - slow path (divide / rsqrt, ~1 op per VPU issue at div throughput):
+      Cholesky: nu rsqrt + nu*(nu-1)/2 col divides per stage; barrier
+      weights: 2*nc divides per stage; step sizes: 2*2*nc ratio divides
+      per stage; line-search + updates ~nc more.
+    - FMA path: everything counted by riccati_kernel_cost.
+    """
+    chol_div = nu + nu * (nu - 1) // 2          # 12 rsqrt + 66 div
+    barrier_div = 2 * nc                        # d = z/s per bound side
+    step_div = 4 * nc + nc
+    slow_per_stage = chol_div + barrier_div + step_div
+    slow_ops = float(iterations * h * slow_per_stage)
+    from hector.io.profiling import riccati_kernel_cost
+    cost = riccati_kernel_cost(iterations)
+    return dict(slow_ops_per_solve=slow_ops,
+                fma_flops_per_solve=cost.flops_per_solve,
+                bytes_per_solve=cost.bytes_per_solve)
+
+
+def record() -> dict:
+    from benchmarks.roofline import nominal_problem
+    from benchmarks.vpu_peak import measure as measure_peaks
+    import dataclasses
+
+    peaks = measure_peaks()
+
+    base_batch = 16384
+    sqp, CFG = nominal_problem(base_batch)
+    q_diag = tuple(CFG.mpc.weights) + (0.0,)
+    r_diag = tuple(CFG.mpc.alpha)
+
+    # --- 1. time vs iterations ---
+    iter_rows = []
+    for it in (7, 14, 28):
+        scfg = dataclasses.replace(CFG.solver, iterations=it)
+        dt = _time_solver(sqp, scfg, q_diag, r_diag)
+        iter_rows.append(dict(iterations=it, seconds_per_solve=dt,
+                              solves_per_s=base_batch / dt))
+    its = np.array([r["iterations"] for r in iter_rows], float)
+    ts = np.array([r["seconds_per_solve"] for r in iter_rows], float)
+    slope, intercept = np.polyfit(its, ts, 1)
+
+    # --- 2. time vs batch (occupancy) ---
+    batch_rows = []
+    for batch in (1024, 4096, 16384, 65536):
+        s, _ = nominal_problem(batch)
+        dt = _time_solver(s, CFG.solver, q_diag, r_diag)
+        batch_rows.append(dict(batch=batch,
+                               solves_per_s=batch / dt))
+
+    # --- 3. op-mix pricing at measured throughputs ---
+    mix = op_mix(CFG.solver.iterations)
+    fma_peak = peaks["vpu_f32_tflops"] * 1e12        # flops/s
+    div_peak = peaks["vpu_f32_div_gops"] * 1e9       # divides/s
+    t_fma = mix["fma_flops_per_solve"] / fma_peak
+    t_slow = mix["slow_ops_per_solve"] / div_peak
+    t_bw = mix["bytes_per_solve"] / (peaks["hbm_gbps"] * 1e9)
+    best = batch_rows[-1]["solves_per_s"]
+    t_meas = 1.0 / best
+    return dict(
+        peaks=peaks,
+        iteration_scaling=dict(
+            rows=iter_rows,
+            per_iteration_s=slope,
+            out_of_loop_s=intercept,
+            loop_fraction_at_14=14 * slope / (14 * slope + intercept)),
+        occupancy=batch_rows,
+        op_mix_pricing=dict(
+            **mix,
+            t_fma_s=t_fma, t_slow_s=t_slow, t_hbm_s=t_bw,
+            t_priced_total_s=t_fma + t_slow,
+            t_measured_s=t_meas,
+            fma_only_fraction=t_fma / t_meas,
+            priced_fraction=(t_fma + t_slow) / t_meas),
+        note="priced_fraction = (FMA time + slow-path time) / measured: "
+             "the share of measured cycles the op-mix model accounts for; "
+             "the remainder is selects/compares/copies and loop overhead")
+
+
+def main():
+    try:
+        from benchmarks._cache import enable_cache
+        enable_cache()
+    except Exception:
+        pass
+    doc = record()
+    print(json.dumps(doc, default=float), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -137,24 +137,37 @@ V5E_VPU_F32_TFLOPS_EST = 4.0
 def roofline_report(measured_solves_per_s: float,
                     iterations: int = 14,
                     hbm_gbps: float = V5E_HBM_GBPS,
-                    vpu_tflops: float = V5E_VPU_F32_TFLOPS_EST) -> dict:
-    """Speed-of-light comparison for the fused solve kernel."""
+                    vpu_tflops: float = V5E_VPU_F32_TFLOPS_EST,
+                    peaks_measured: bool = False) -> dict:
+    """Speed-of-light comparison for the fused solve kernel.
+
+    peaks_measured=True marks hbm_gbps / vpu_tflops as MEASURED on this
+    chip (benchmarks/vpu_peak.py microbenchmarks) rather than the analytic
+    estimates above; the emitted key names and note say which."""
     cost = riccati_kernel_cost(iterations)
     sol_bw = hbm_gbps * 1e9 / cost.bytes_per_solve
     sol_compute = vpu_tflops * 1e12 / cost.flops_per_solve
     bound = "compute(VPU)" if sol_compute < sol_bw else "bandwidth(HBM)"
     sol = min(sol_bw, sol_compute)
-    return dict(
+    compute_key = ("speed_of_light_compute_measured" if peaks_measured
+                   else "speed_of_light_compute_est")
+    rep = dict(
         measured_solves_per_s=measured_solves_per_s,
         bytes_per_solve=cost.bytes_per_solve,
         flops_per_solve=cost.flops_per_solve,
         arithmetic_intensity=round(cost.arithmetic_intensity, 1),
         speed_of_light_bandwidth=sol_bw,
-        speed_of_light_compute_est=sol_compute,
         binding_resource=bound,
         fraction_of_speed_of_light=measured_solves_per_s / sol,
         achieved_hbm_gbps=measured_solves_per_s * cost.bytes_per_solve / 1e9,
         achieved_vpu_tflops=measured_solves_per_s * cost.flops_per_solve
         / 1e12,
-        note="VPU f32 peak is an estimate; MXU is idle by design "
-             "(per-lane matrices share no operands)")
+        vpu_peak_tflops=vpu_tflops,
+        hbm_peak_gbps=hbm_gbps,
+        note=("peaks MEASURED on this chip (benchmarks/vpu_peak.py); MXU "
+              "is idle by design (per-lane matrices share no operands)"
+              if peaks_measured else
+              "VPU f32 peak is an estimate; MXU is idle by design "
+              "(per-lane matrices share no operands)"))
+    rep[compute_key] = sol_compute
+    return rep

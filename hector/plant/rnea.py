@@ -180,12 +180,16 @@ def bias_forces(base_pos, base_rot, q, nu, gravity):
     return rnea(base_pos, base_rot, q, nu, zero, gravity)
 
 
-def contact_points_and_jac(base_pos, base_rot, q, nu):
+def contact_points_and_jac(base_pos, base_rot, q, nu, cps=None):
     """World contact points (P, 3), their velocities (P, 3), and the
     contact jacobian J (P, 3, 16) via unit generalized velocities
-    (P = 2 legs x len(CONTACT_POINTS_TOE))."""
+    (P = 2 legs x len(CONTACT_POINTS_TOE)).
+
+    cps: optional (P/2, 3) toe-frame contact offsets overriding the URDF
+    box corners (contact-geometry sensitivity studies)."""
     dtype = base_pos.dtype
-    cps = jnp.asarray(mdl.CONTACT_POINTS_TOE, dtype)
+    if cps is None:
+        cps = jnp.asarray(mdl.CONTACT_POINTS_TOE, dtype)
 
     rots, orgs, _ = fk_chain(base_pos, base_rot, q)
     toe_rot = rots[:, 4]

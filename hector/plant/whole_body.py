@@ -60,6 +60,10 @@ class ContactConfig(NamedTuple):
     mu: float = 1.0            # toe friction (gazebo mu1)
     k_anchor: float = 2.0e4    # N/m stiction spring toward the anchor
     k_tangent: float = 2.0e3   # N s/m tangential damping (implicit)
+    # diagnostic axis for contact-geometry sensitivity studies
+    # (benchmarks/lateral_sweep.py): scales the toe-box corner y spacing
+    # away from the URDF's 2 cm; 1.0 = the real geometry
+    toe_halfwidth_scale: float = 1.0
 
 
 def init_whole_body_state(height: float = 0.55,
@@ -128,6 +132,10 @@ def step(state: WholeBodyState, cmd, cfg: HectorConfig = DEFAULT_CONFIG,
     """
     dtype = state.position.dtype
     dt = jnp.asarray(cfg.plant.dt / n_substeps, dtype)
+    cps = jnp.asarray(CONTACT_POINTS_TOE, dtype) * jnp.stack(
+        [jnp.asarray(1.0, dtype),
+         jnp.asarray(ccfg.toe_halfwidth_scale, dtype),
+         jnp.asarray(1.0, dtype)])
 
     joint_damping = jnp.asarray(0.1, dtype)  # URDF <dynamics damping>
 
@@ -148,7 +156,7 @@ def step(state: WholeBodyState, cmd, cfg: HectorConfig = DEFAULT_CONFIG,
         bias = rnea.bias_forces(s.position, rot, s.q, nu, cfg.plant.gravity)
 
         pts, vels, jac = rnea.contact_points_and_jac(
-            s.position, rot, s.q, nu)
+            s.position, rot, s.q, nu, cps=cps)
         f0, d_gain, anchor, sticking = contact_forces(
             pts, vels, s.anchor, s.sticking, terrain, ccfg)
         # implicit contact damping: f_c = f0 - D (v + dt J nu_dot)

@@ -354,7 +354,8 @@ def make_rollout_whole_body(n_periods: int,
                             batched: bool = False,
                             with_disturbance: bool = False,
                             estimator: str = 'cheater',
-                            with_schedule: bool = False):
+                            with_schedule: bool = False,
+                            ccfg=None, n_substeps: int = 4):
     """Tier-2 rollout: same controller, full articulated plant
     (hector/plant/whole_body.py).  The controller consumes the plant state
     through the same observation fields; contact is emergent from the
@@ -368,8 +369,15 @@ def make_rollout_whole_body(n_periods: int,
     (6,) world-wrench push input, ``with_schedule`` adds the per-period
     (cmd_t, mode_cmd_t) command/mode schedule, and non-finite lanes are
     quarantined exactly as on tier-1.
+
+    ccfg / n_substeps: contact-model parameters (ContactConfig) and
+    integrator substep count, forwarded to WB.step -- the contact
+    sensitivity-study surface (defaults = the Gazebo-level production
+    model).
     """
     from .plant import whole_body as WB
+    if ccfg is None:
+        ccfg = WB.ContactConfig()
 
     def rollout(carry, plant: WB.WholeBodyState, cmd, disturbance=None,
                 schedule=None):
@@ -392,7 +400,8 @@ def make_rollout_whole_body(n_periods: int,
                 if k == 0:
                     diag0 = {**diag, "wrench": wrench, "contact": stance}
                 p = WB.step(p, motor_cmd, cfg=cfg, terrain=terrain,
-                            disturbance=dist)
+                            disturbance=dist, ccfg=ccfg,
+                            n_substeps=n_substeps)
             healthy = (jnp.isfinite(p.position).all()
                        & jnp.isfinite(p.v_world).all()
                        & jnp.isfinite(p.quat).all()

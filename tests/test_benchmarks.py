@@ -63,3 +63,59 @@ def test_perf_md_renders_committed_artifact():
     text = perf_md.render(doc, weak, "PERF_r3.json")
     assert "solves/s/chip" in text and "Real-time budget" in text
     assert "NOT RECORDED" not in text        # every section has data
+
+
+def test_vpu_peak_microbenchmarks_tiny():
+    """The peak-measurement kernels run and return sane positive numbers
+    (CPU: values are meaningless, shapes/paths are what's under test)."""
+    from benchmarks import vpu_peak
+
+    r = vpu_peak.measure_vpu_f32(n=1 << 12, k=8, outer=2)
+    assert r["vpu_f32_tflops"] > 0
+    r = vpu_peak.measure_vpu_div(n=1 << 12, k=8, outer=2)
+    assert r["vpu_f32_div_gops"] > 0
+    r = vpu_peak.measure_hbm_bw(n=1 << 14, outer=2)
+    assert r["hbm_gbps"] > 0
+
+
+def test_roofline_report_measured_peaks_labeling():
+    from hector.io.profiling import roofline_report
+
+    rep = roofline_report(1e6, iterations=14, hbm_gbps=700.0,
+                          vpu_tflops=2.5, peaks_measured=True)
+    assert "speed_of_light_compute_measured" in rep
+    assert "speed_of_light_compute_est" not in rep
+    assert rep["vpu_peak_tflops"] == 2.5
+    assert "MEASURED" in rep["note"]
+
+
+def test_cycle_accounting_op_mix():
+    from benchmarks.cycle_accounting import op_mix
+
+    m = op_mix(14)
+    assert m["slow_ops_per_solve"] > 0
+    assert m["fma_flops_per_solve"] > m["slow_ops_per_solve"]
+
+
+def test_lateral_sweep_one_lane_short():
+    """The sweep harness end to end at toy size: 1 variant x 1 vy,
+    20 periods."""
+    from benchmarks.lateral_sweep import sweep
+
+    rows = sweep(n_substeps=2, periods=20, variants=[("base", {})],
+                 vys=[0.1])
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["fell"] in (False, True) and r["min_height"] > 0
+    assert r["solver"] == "default"
+
+
+def test_multihost_scaling_single_process_row():
+    """The 1-process row of the DCN scaling harness (the 2-process row is
+    exercised by tests/test_multihost.py's coordinator path)."""
+    from benchmarks.multihost_scaling import run_row
+
+    row = run_row(nproc=1, pdb=8, n_periods=2)
+    assert row["processes"] == 1 and row["global_devices"] == 2
+    assert row["closed_loop_solves_per_s"] > 0
+    assert row["fallen"] == 0.0
