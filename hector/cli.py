@@ -203,6 +203,56 @@ def cmd_view(args):
     print()
 
 
+def cmd_export_html(args):
+    """Export an interactive self-contained 3D HTML viewer of a scenario
+    rollout (the rviz/Gazebo-GUI analog, hector/io/html_viz.py): full
+    skeleton -- trunk box, articulated leg chains, toe boxes -- one frame
+    per MPC period, orbitable in any browser with no server."""
+    _cpu_backend(args)
+    import numpy as np
+    from . import runtime as RT
+    from . import worlds
+    from .plant import srb
+    from .config import DEFAULT_CONFIG
+    from .io import html_viz
+
+    CFG, terrain = worlds.apply(args.world, DEFAULT_CONFIG)
+    cmd = (RT.standing_command() if args.gait == "standing"
+           else RT.walking_command(vx=args.vx, vy=args.vy,
+                                   yaw_rate=args.yaw_rate,
+                                   step_height=terrain.step_height,
+                                   step_length=terrain.step_length))
+    period = CFG.mpc.dt * CFG.mpc.mpc_cadence
+    n_frames = int(args.seconds / period)
+    if args.plant == "whole-body":
+        from .plant import whole_body as WB
+        plant = WB.init_whole_body_state(height=0.545)
+        carry = RT.init_controller_carry(
+            RT.whole_body_observation(plant), CFG)
+        roll = RT.make_rollout_whole_body(1, cfg=CFG, batched=False,
+                                          estimator=args.estimator)
+        get_contact = lambda p: np.asarray(
+            p.sticking).reshape(2, -1).any(axis=-1)
+    else:
+        plant = srb.init_plant_state(CFG)
+        carry = RT.init_controller_carry(plant, CFG)
+        roll = RT.make_rollout(1, cfg=CFG, batched=False,
+                               estimator=args.estimator)
+        get_contact = lambda p: np.asarray(p.contact) > 0
+    frames, contacts = [], []
+    for _ in range(n_frames):
+        carry, plant, _diags = roll(carry, plant, cmd)
+        frames.append(html_viz.skeleton_points(
+            plant.position, plant.quat, plant.q, CFG))
+        contacts.append(get_contact(plant))
+    html_viz.export_html(
+        np.stack(frames), np.stack(contacts), args.out, period,
+        terrain=(float(terrain.step_height), float(terrain.step_length)),
+        title=f"hector {args.plant} vx={args.vx} world={args.world}")
+    print(json.dumps({"wrote": args.out, "frames": n_frames,
+                      "seconds": n_frames * period}))
+
+
 def cmd_replay(args):
     """Offline-trajectory playback (the FSMState_TO capability): load a CSV
     trajectory table; --closed-loop drives the full controller+plant from it
@@ -274,6 +324,21 @@ def main(argv=None):
                    help="playback speed multiple of real time; 0 = "
                         "as fast as the rollout runs")
     v.set_defaults(fn=cmd_view)
+
+    x = sub.add_parser("export-html",
+                       help="write a self-contained 3D HTML viewer")
+    x.add_argument("out", help="output .html path")
+    x.add_argument("--gait", choices=["standing", "walking"],
+                   default="walking")
+    x.add_argument("--vx", type=float, default=0.5)
+    x.add_argument("--vy", type=float, default=0.0)
+    x.add_argument("--yaw-rate", type=float, default=0.0)
+    x.add_argument("--seconds", type=float, default=3.0)
+    x.add_argument("--world", default="normal")
+    x.add_argument("--plant", choices=["srb", "whole-body"], default="srb")
+    x.add_argument("--estimator", choices=["cheater", "filtered", "kf"],
+                   default="cheater")
+    x.set_defaults(fn=cmd_export_html)
 
     rp = sub.add_parser("replay", help="offline trajectory playback (TO)")
     rp.add_argument("csv", help="trajectory CSV (time + 12-dim state + ...)")
