@@ -392,6 +392,9 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
     ll = jnp.where(mask_l, init_dual / sl, 0.0)
     lu = jnp.where(mask_u, init_dual / su, 0.0)
     u = zero_u
+    # loop-invariant: R diagonal as a column stack (hoisted -- rebuilt
+    # per iteration it materializes NU constant slabs every pass)
+    r2_col = jnp.stack([jnp.full_like(x0[0], r2[i]) for i in range(NU)])
 
     def body(_, carry):
         u, s_l, lam_l, s_u, lam_u = carry
@@ -400,21 +403,23 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
         q_lin = (xs - xd) * q2_vec[None]
         r_pl = jnp.where(mask_l, cu - lb_c - s_l, 0.0)
         r_pu = jnp.where(mask_u, ub_c - cu - s_u, 0.0)
-        sl_safe = jnp.maximum(s_l, s_floor)
-        su_safe = jnp.maximum(s_u, s_floor)
-        d_l = jnp.where(mask_l, jnp.minimum(lam_l / sl_safe, d_cap), 0.0)
-        d_u = jnp.where(mask_u, jnp.minimum(lam_u / su_safe, d_cap), 0.0)
+        # one reciprocal per bound side; everything downstream multiplies
+        # (divides run on the VPU slow path at ~1/15 FMA throughput --
+        # perf/parts/cycle_accounting.json)
+        inv_sl = 1.0 / jnp.maximum(s_l, s_floor)
+        inv_su = 1.0 / jnp.maximum(s_u, s_floor)
+        d_l = jnp.where(mask_l, jnp.minimum(lam_l * inv_sl, d_cap), 0.0)
+        d_u = jnp.where(mask_u, jnp.minimum(lam_u * inv_su, d_cap), 0.0)
         mu = (jnp.sum(s_l * lam_l * fl, axis=(0, 1))
               + jnp.sum(s_u * lam_u * fu, axis=(0, 1))) / n_act
 
         smu = (sigma * mu)[None, None]
         tau_l = jnp.where(mask_l, smu, 0.0)
         tau_u = jnp.where(mask_u, smu, 0.0)
+        tls = jnp.where(mask_l, tau_l * inv_sl, 0.0)
+        tus = jnp.where(mask_u, tau_u * inv_su, 0.0)
 
-        v = (jnp.where(mask_u, tau_u / su_safe, 0.0)
-             - jnp.where(mask_l, tau_l / sl_safe, 0.0)
-             - (lam_u - lam_l) - d_u * r_pu + d_l * r_pl)
-        r2_col = jnp.stack([jnp.full_like(x0[0], r2[i]) for i in range(NU)])
+        v = tus - tls - (lam_u - lam_l) - d_u * r_pu + d_l * r_pl
         r_lin = r2_col[None] * u + apply_ct((lam_u - lam_l) + v)
 
         du = newton_dir(d_l + d_u, q_lin, r_lin)
@@ -422,9 +427,9 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
         ds_l = jnp.where(mask_l, cdu + r_pl, 0.0)
         ds_u = jnp.where(mask_u, -cdu + r_pu, 0.0)
         dl_l = jnp.where(mask_l,
-                         tau_l / sl_safe - lam_l - d_l * (cdu + r_pl), 0.0)
+                         tls - lam_l - d_l * (cdu + r_pl), 0.0)
         dl_u = jnp.where(mask_u,
-                         tau_u / su_safe - lam_u - d_u * (-cdu + r_pu), 0.0)
+                         tus - lam_u - d_u * (-cdu + r_pu), 0.0)
 
         a_p = jnp.minimum(alpha_max(s_l, ds_l, fl, frac),
                           alpha_max(s_u, ds_u, fu, frac))[None, None]
@@ -460,7 +465,6 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
     # adjoint sweep for the dual residual
     nu_vec = q_lin[H - 1]
     r_d_max = jnp.zeros_like(x0[0])
-    r2_col = jnp.stack([jnp.full_like(x0[0], r2[i]) for i in range(NU)])
     ct_dl = apply_ct(lam_u - lam_l)
     for k in range(H - 1, -1, -1):
         r_d_k = (r2_col * u[k] + btmatvec(umask[k], nu_vec) + ct_dl[k])

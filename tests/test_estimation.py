@@ -158,10 +158,12 @@ def test_walking_on_filtered_noisy_sensors():
 
 
 def test_walking_on_contact_aided_kf():
-    """Walk driven by the contact-aided, IMU-driven KF: the process input
-    is the measured specific force (gravity-compensated through the
-    measured orientation), corrections come from leg kinematics + contact
-    flags, and the direct world pos/vel channels are never consumed."""
+    """Walk driven by the fully sensor-honest stack (Mahony orientation
+    filter + contact-aided KF): the process input is the measured specific
+    force gravity-compensated through the ESTIMATED orientation,
+    corrections come from leg kinematics + contact flags, and no direct
+    quat/pos/vel channel is ever consumed
+    (test_kf_path_never_consumes_direct_pose_channels)."""
     carry, plant, diags, np = _walk_with_estimator('kf')
     assert not np.asarray(diags['fallen']).any()
     vx = np.asarray(diags['vx'])
@@ -280,3 +282,25 @@ def test_kf_path_never_consumes_direct_pose_channels(monkeypatch):
     import pytest as _pytest
     with _pytest.raises(AssertionError):
         E.est_update('filtered', state, plant, CFG)
+
+
+def test_imu_gravity_matches_world_preset():
+    """ADVICE r3: the IMU's sensor model and the estimator's gravity
+    compensation must share the WORLD's gravity constant -- in the
+    zero-g 'space' preset a resting accelerometer reads ~0 (not +9.81),
+    and the KF's reconstructed world acceleration has no constant bias."""
+    import dataclasses
+    from hector import worlds
+
+    cfg0, _ = worlds.apply('space', CFG)
+    plant = srb.init_plant_state(cfg0)
+    keys = jax.random.split(jax.random.PRNGKey(5), 400)
+    f = jax.vmap(lambda k: E.imu_accel(
+        k, plant, plant.v_world, cfg0.plant.dt,
+        gravity=cfg0.plant.gravity))(keys)
+    np.testing.assert_allclose(np.asarray(f).mean(axis=0), 0.0, atol=0.02)
+    # and through the full honest path: accel input leaves v unchanged
+    st = E.est_init(plant, jax.random.PRNGKey(0), cfg0)
+    for _ in range(50):
+        st, est = E.est_update('kf', st, plant, cfg0)
+    assert np.abs(np.asarray(st.kf.x[3:6])).max() < 0.05
