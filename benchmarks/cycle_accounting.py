@@ -20,41 +20,21 @@ Prints one JSON document (also usable via record()).
 from __future__ import annotations
 
 import json
-import statistics
-import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 
 def _time_solver(sqp, scfg, q_diag, r_diag, chain_len: int = 16,
                  reps: int = 3) -> float:
-    """Median seconds per batched solve (chained, value-unique,
-    fetch-synced -- the bench.py discipline)."""
+    """Median seconds per batched solve, via the SHARED chained harness
+    (benchmarks/roofline.py time_chained_solver -- one implementation of
+    the bench.py discipline for both reports)."""
     from hector.qp import pallas_riccati
+    from benchmarks.roofline import time_chained_solver
 
-    @jax.jit
-    def chained(key, sqp):
-        noise = 1e-5 * jax.random.normal(key, sqp.x0.shape, sqp.x0.dtype)
-        sqp = sqp._replace(x0=sqp.x0 + noise)
-
-        def body(s, _):
-            sol = pallas_riccati.solve_batched(s, scfg, q_diag=q_diag,
-                                               r_diag=r_diag)
-            s = s._replace(x0=s.x0.at[..., 9:12].add(1e-9 * sol.u[..., :3]))
-            return s, None
-
-        s, _ = jax.lax.scan(body, sqp, None, length=chain_len)
-        return jnp.sum(s.x0)
-
-    _ = float(np.asarray(chained(jax.random.PRNGKey(99), sqp)))
-    times = []
-    for rep in range(reps):
-        t0 = time.perf_counter()
-        _ = float(np.asarray(chained(jax.random.PRNGKey(rep), sqp)))
-        times.append(time.perf_counter() - t0)
-    return statistics.median(times) / chain_len
+    solver = lambda s: pallas_riccati.solve_batched(
+        s, scfg, q_diag=q_diag, r_diag=r_diag)
+    return time_chained_solver(sqp, solver, chain_len, reps)
 
 
 def op_mix(iterations: int = 14, h: int = 10, nu: int = 12, nc: int = 16,
@@ -118,7 +98,7 @@ def record() -> dict:
     t_fma = mix["fma_flops_per_solve"] / fma_peak
     t_slow = mix["slow_ops_per_solve"] / div_peak
     t_bw = mix["bytes_per_solve"] / (peaks["hbm_gbps"] * 1e9)
-    best = batch_rows[-1]["solves_per_s"]
+    best = max(r["solves_per_s"] for r in batch_rows)
     t_meas = 1.0 / best
     return dict(
         peaks=peaks,

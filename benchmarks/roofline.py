@@ -64,19 +64,14 @@ def nominal_problem(batch: int):
     return sqp._replace(x0=sqp.x0 + dx), CFG
 
 
-def main(batch: int = 4096, chain_len: int = 16):
-    from benchmarks._cache import enable_cache
-    enable_cache()
-    from hector.qp import pallas_riccati, riccati
-    sqp, CFG = nominal_problem(batch)
-
-    on_tpu = jax.default_backend() != "cpu"
-    if on_tpu:
-        solver = lambda s: pallas_riccati.solve_batched(
-            s, CFG.solver, q_diag=tuple(CFG.mpc.weights) + (0.0,),
-            r_diag=tuple(CFG.mpc.alpha))
-    else:
-        solver = lambda s: riccati.solve_batched(s, CFG.solver)
+def time_chained_solver(sqp, solver, chain_len: int = 16,
+                        reps: int = 3) -> float:
+    """Median seconds per batched solve under the bench.py discipline:
+    each solve's x0 depends on the previous solution (nothing can be
+    hoisted/cached), each rep's input is value-unique (fresh key noise),
+    and the sync point is a device->host value fetch.  Shared by the
+    roofline and cycle-accounting benchmarks so their numbers stay
+    methodology-comparable."""
 
     @jax.jit
     def chained(key, sqp):
@@ -94,11 +89,28 @@ def main(batch: int = 4096, chain_len: int = 16):
 
     _ = float(np.asarray(chained(jax.random.PRNGKey(99), sqp)))  # compile
     times = []
-    for rep in range(3):
+    for rep in range(reps):
         t0 = time.perf_counter()
         _ = float(np.asarray(chained(jax.random.PRNGKey(rep), sqp)))
         times.append(time.perf_counter() - t0)
-    dt = statistics.median(times) / chain_len
+    return statistics.median(times) / chain_len
+
+
+def main(batch: int = 4096, chain_len: int = 16):
+    from benchmarks._cache import enable_cache
+    enable_cache()
+    from hector.qp import pallas_riccati, riccati
+    sqp, CFG = nominal_problem(batch)
+
+    on_tpu = jax.default_backend() != "cpu"
+    if on_tpu:
+        solver = lambda s: pallas_riccati.solve_batched(
+            s, CFG.solver, q_diag=tuple(CFG.mpc.weights) + (0.0,),
+            r_diag=tuple(CFG.mpc.alpha))
+    else:
+        solver = lambda s: riccati.solve_batched(s, CFG.solver)
+
+    dt = time_chained_solver(sqp, solver, chain_len)
     solves_per_s = batch / dt
 
     from hector.io.profiling import roofline_report

@@ -41,16 +41,11 @@ def _dispatch_floor() -> float:
     correction, not the measurement)."""
     global _FLOOR
     if _FLOOR is None:
-        tiny = jnp.ones((8,), jnp.float32)
-        f = jax.jit(lambda key, x: jnp.sum(
-            x + jax.random.uniform(key, (), jnp.float32)))
-        _ = float(np.asarray(f(jax.random.PRNGKey(0), tiny)))
-        ts = []
-        for rep in range(7):
-            t0 = time.perf_counter()
-            _ = float(np.asarray(f(jax.random.PRNGKey(rep), tiny)))
-            ts.append(time.perf_counter() - t0)
-        _FLOOR = statistics.median(ts)
+        # one shared implementation of the floor sampler (the latency
+        # report's paired-differencing uses the same _trivial probe)
+        from benchmarks.latency import _trivial
+        sample = _trivial()
+        _FLOOR = statistics.median([sample() for _ in range(7)])
     return _FLOOR
 
 

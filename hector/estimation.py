@@ -188,8 +188,12 @@ def mahony_update(m: MahonyState, gyro_b, f_body, dt,
     v_hat = r_bw.T @ jnp.asarray([0.0, 0.0, 1.0], dtype)  # predicted up
     f_norm = jnp.linalg.norm(f_body)
     v_meas = f_body / jnp.maximum(f_norm, 1e-6)            # measured up
-    gate = jnp.clip(1.0 - 2.0 * jnp.abs(f_norm - gravity) / gravity,
-                    0.0, 1.0)
+    # max() guards gravity=0 worlds (worlds.py 'space'): there the gate
+    # hard-zeros for any nonzero |f| instead of dividing by zero, and a
+    # zero specific force yields a zero error vector -- pure gyro, no NaN
+    gate = jnp.clip(
+        1.0 - 2.0 * jnp.abs(f_norm - gravity) / jnp.maximum(gravity, 1e-6),
+        0.0, 1.0)
     err = jnp.cross(v_meas, v_hat) * gate
     bias = m.bias - ki * dt * err
     w_corr = gyro_b - bias + kp * err                      # body frame
