@@ -26,14 +26,17 @@ def _cpu_backend(args):
         jax.config.update("jax_platforms", args.platform)
 
 
-def cmd_run(args):
-    _cpu_backend(args)
-    import numpy as np
+def _setup_scenario(args, n_periods):
+    """Shared scenario setup for run/export-html: world config, command,
+    plant state, controller carry, and the jitted rollout (srb or
+    whole-body, per --plant/--estimator).  The command carries the
+    world's terrain ONLY for the walking gait (standing pins flat
+    ground), so downstream consumers must read terrain from the COMMAND,
+    not the world, to match what the plant actually simulated."""
     from . import runtime as RT
     from . import worlds
     from .plant import srb
     from .config import DEFAULT_CONFIG
-    from .io.metrics import summarize_rollout
 
     CFG, terrain = worlds.apply(args.world, DEFAULT_CONFIG)
     cmd = (RT.standing_command() if args.gait == "standing"
@@ -41,7 +44,6 @@ def cmd_run(args):
                                    yaw_rate=args.yaw_rate,
                                    step_height=terrain.step_height,
                                    step_length=terrain.step_length))
-    n_periods = int(args.seconds / (CFG.mpc.dt * CFG.mpc.mpc_cadence))
     if args.plant == "whole-body":
         from .plant import whole_body as WB
         plant = WB.init_whole_body_state(height=0.545)
@@ -55,6 +57,17 @@ def cmd_run(args):
         carry = RT.init_controller_carry(plant, CFG)
         roll = RT.make_rollout(n_periods, cfg=CFG, batched=False,
                                estimator=args.estimator)
+    return CFG, cmd, plant, carry, roll
+
+
+def cmd_run(args):
+    _cpu_backend(args)
+    from .config import DEFAULT_CONFIG
+    from .io.metrics import summarize_rollout
+
+    n_periods = int(args.seconds / (DEFAULT_CONFIG.mpc.dt
+                                    * DEFAULT_CONFIG.mpc.mpc_cadence))
+    CFG, cmd, plant, carry, roll = _setup_scenario(args, n_periods)
     carry, plant, diags = roll(carry, plant, cmd)
     summary = summarize_rollout(diags)
     summary["x_traveled"] = float(plant.position[0])
@@ -194,8 +207,10 @@ def cmd_view(args):
             np.asarray(plant.position), np.asarray(
                 hm.quat_to_rpy(plant.quat)),
             hips_w, feet_w, contact, fz, t, cmd_text,
-            step_height=float(terrain.step_height),
-            step_length=float(terrain.step_length))
+            # draw the terrain the plant SIMULATED (the command's):
+            # standing pins flat ground regardless of the world preset
+            step_height=float(cmd.terrain_step_height),
+            step_length=float(cmd.terrain_step_length))
         print(live.ANSI_HOME + frame, flush=True)
         if args.speed > 0:
             _time.sleep(max(0.0, period / args.speed
@@ -210,34 +225,15 @@ def cmd_export_html(args):
     per MPC period, orbitable in any browser with no server."""
     _cpu_backend(args)
     import numpy as np
-    from . import runtime as RT
-    from . import worlds
-    from .plant import srb
-    from .config import DEFAULT_CONFIG
     from .io import html_viz
 
-    CFG, terrain = worlds.apply(args.world, DEFAULT_CONFIG)
-    cmd = (RT.standing_command() if args.gait == "standing"
-           else RT.walking_command(vx=args.vx, vy=args.vy,
-                                   yaw_rate=args.yaw_rate,
-                                   step_height=terrain.step_height,
-                                   step_length=terrain.step_length))
+    CFG, cmd, plant, carry, roll = _setup_scenario(args, n_periods=1)
     period = CFG.mpc.dt * CFG.mpc.mpc_cadence
-    n_frames = int(args.seconds / period)
+    n_frames = max(1, int(args.seconds / period))
     if args.plant == "whole-body":
-        from .plant import whole_body as WB
-        plant = WB.init_whole_body_state(height=0.545)
-        carry = RT.init_controller_carry(
-            RT.whole_body_observation(plant), CFG)
-        roll = RT.make_rollout_whole_body(1, cfg=CFG, batched=False,
-                                          estimator=args.estimator)
         get_contact = lambda p: np.asarray(
             p.sticking).reshape(2, -1).any(axis=-1)
     else:
-        plant = srb.init_plant_state(CFG)
-        carry = RT.init_controller_carry(plant, CFG)
-        roll = RT.make_rollout(1, cfg=CFG, batched=False,
-                               estimator=args.estimator)
         get_contact = lambda p: np.asarray(p.contact) > 0
     frames, contacts = [], []
     for _ in range(n_frames):
@@ -245,9 +241,12 @@ def cmd_export_html(args):
         frames.append(html_viz.skeleton_points(
             plant.position, plant.quat, plant.q, CFG))
         contacts.append(get_contact(plant))
+    # terrain for the drawn grid comes from the COMMAND (what the plant
+    # simulated), not the world preset: standing pins flat ground
     html_viz.export_html(
         np.stack(frames), np.stack(contacts), args.out, period,
-        terrain=(float(terrain.step_height), float(terrain.step_length)),
+        terrain=(float(cmd.terrain_step_height),
+                 float(cmd.terrain_step_length)),
         title=f"hector {args.plant} vx={args.vx} world={args.world}")
     print(json.dumps({"wrote": args.out, "frames": n_frames,
                       "seconds": n_frames * period}))

@@ -144,8 +144,8 @@ function proj(p,c){const x=p[0]-c[0],y=p[1]-c[1],z=p[2];
  const cy=Math.cos(yaw),sy=Math.sin(yaw);
  const x1=x*cy-y*sy,y1=x*sy+y*cy;
  const cp=Math.cos(pitch),sp=Math.sin(pitch);
- const y2=y1*cp-z*sp,z2=y1*sp+z*cp;
- return [W/2+x1*zoom,Hh*0.62+y2*zoom*0.9-0*z2];}
+ const y2=y1*cp-z*sp;
+ return [W/2+x1*zoom,Hh*0.62+y2*zoom*0.9];}
 function ground(c){const [sh,sl]=D.terrain;cx.strokeStyle='#263041';
  cx.lineWidth=1;
  for(let gx=-8;gx<=24;gx++){for(let gy=-6;gy<6;gy++){

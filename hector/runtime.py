@@ -82,11 +82,15 @@ class ControllerCarry(NamedTuple):
 
 def init_controller_carry(plant: srb.PlantState,
                           cfg: HectorConfig = DEFAULT_CONFIG,
-                          key=None):
+                          key=None,
+                          noise: EST.SensorNoise = EST.SensorNoise()):
     """firstRun initialization (ConvexMPCLocomotion.cpp:66-111).
 
     key: PRNG key seeding the estimator's sensor-noise stream (per lane;
-    unused by the default cheater estimator)."""
+    unused by the default cheater estimator).  noise: the sensor noise
+    model -- the per-lane TRUE gyro bias is drawn HERE (est_init), so a
+    caller configuring a custom SensorNoise must pass the same model here
+    and to est_update for the two to agree."""
     dtype = plant.position.dtype
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -100,7 +104,7 @@ def init_controller_carry(plant: srb.PlantState,
         planner=M.init_planner_state(plant.position, dtype),
         swing=SW.init_swing_state(p_foot_w, dtype),
         command=C.CommandState(yaw_des=jnp.asarray(0.0, dtype)),
-        est=EST.est_init(plant, key, cfg))
+        est=EST.est_init(plant, key, cfg, noise=noise))
 
 
 N_SEGMENTS = 10  # gait table length == MPC horizon (GaitGenerator ctor args)
