@@ -455,6 +455,9 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
                             jnp.clip(lam_u + a_d * dl_u, 0.0, sl_cap))
         return (u_n, s_l_n, lam_l_n, s_u_n, lam_u_n)
 
+    # unroll=False: Mosaic's fori lowering supports only rolled or FULLY
+    # unrolled loops, and a 14x body blows the (already 10-20 min)
+    # kernel compile budget for at best a few-percent loop-overhead win
     u, s_l, lam_l, s_u, lam_u = jax.lax.fori_loop(
         0, iters, body, (u, sl, ll, su, lu), unroll=False)
 

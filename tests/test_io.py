@@ -121,3 +121,35 @@ def test_replay_cli_closed_loop(tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out)
     assert out['fallen'] is False
     assert out['pos_err_max'] < 0.1
+
+
+def test_checkpoint_roundtrip_whole_body(tmp_path):
+    """Tier-2 (articulated) sim state checkpoints/resumes through the same
+    orbax path: a mid-walk WholeBodyState+carry round-trips exactly and
+    the restored pair continues the rollout."""
+    import jax
+    import jax.numpy as jnp
+    from hector import runtime as RT
+    from hector.plant import whole_body as WB
+    from hector.io import checkpoint as CKPT
+
+    roll = RT.make_rollout_whole_body(20, cfg=CFG, batched=False)
+    plant = WB.init_whole_body_state(height=0.545)
+    carry = RT.init_controller_carry(RT.whole_body_observation(plant), CFG)
+    cmd = RT.walking_command(vx=0.3)
+    carry, plant, _ = roll(carry, plant, cmd)
+
+    path = str(tmp_path / "ckpt_wb")
+    CKPT.save(path, 3, carry, plant, cmd)
+    template = (jax.tree.map(jnp.zeros_like, carry),
+                jax.tree.map(jnp.zeros_like, plant),
+                jax.tree.map(jnp.zeros_like, cmd))
+    step, restored = CKPT.restore(path, template)
+    assert step == 3
+    np.testing.assert_allclose(np.asarray(restored["plant"].q),
+                               np.asarray(plant.q))
+    np.testing.assert_allclose(np.asarray(restored["plant"].anchor),
+                               np.asarray(plant.anchor))
+    # resumed rollout runs from the restored state
+    c2, p2, d2 = roll(restored["carry"], restored["plant"], restored["cmd"])
+    assert not np.asarray(d2["fallen"]).any()
