@@ -54,3 +54,23 @@ def test_stairs_terrain_walk():
         periods=400)
     assert not np.asarray(diags['fallen']).any()
     assert float(plant.position[0]) > 0.3
+
+
+def test_stairs_terrain_walk_kf_driven():
+    """Tier-1 stairs with the sensor-honest estimator: the terrain-aware
+    KF height rows (commanded terrain map at the filter's own foot-x
+    estimates, hector/estimation.py est_update) keep the height estimate
+    tracking the climb -- the tier-1 mirror of
+    test_whole_body_kf_driven_stairs."""
+    import jax
+    cmd = RT.walking_command(vx=0.4, step_height=0.03, step_length=0.5)
+    plant = srb.init_plant_state(CFG)
+    carry = RT.init_controller_carry(plant, CFG,
+                                     key=jax.random.PRNGKey(3))
+    roll = RT.make_rollout(400, cfg=CFG, batched=False, estimator='kf')
+    carry, plant, diags = roll(carry, plant, cmd)
+    assert not np.asarray(diags['fallen']).any()
+    assert float(plant.position[0]) > 0.3
+    est = np.asarray(carry.est.kf.x)
+    assert abs(est[2] - float(plant.position[2])) < 0.02   # z tracks climb
+    assert abs(est[1] - float(plant.position[1])) < 0.03
