@@ -235,18 +235,21 @@ def cmd_export_html(args):
             p.sticking).reshape(2, -1).any(axis=-1)
     else:
         get_contact = lambda p: np.asarray(p.contact) > 0
-    frames, contacts = [], []
+    frames, contacts, forces = [], [], []
     for _ in range(n_frames):
-        carry, plant, _diags = roll(carry, plant, cmd)
+        carry, plant, diags = roll(carry, plant, cmd)
         frames.append(html_viz.skeleton_points(
             plant.position, plant.quat, plant.q, CFG))
         contacts.append(get_contact(plant))
+        # per-leg world GRF from the telemetry channel (wrench (1, 2, 6))
+        forces.append(np.asarray(diags["wrench"], float)[0, :, 0:3])
     # terrain for the drawn grid comes from the COMMAND (what the plant
     # simulated), not the world preset: standing pins flat ground
     html_viz.export_html(
         np.stack(frames), np.stack(contacts), args.out, period,
         terrain=(float(cmd.terrain_step_height),
                  float(cmd.terrain_step_length)),
+        forces=np.stack(forces),
         title=f"hector {args.plant} vx={args.vx} world={args.world}")
     print(json.dumps({"wrote": args.out, "frames": n_frames,
                       "seconds": n_frames * period}))

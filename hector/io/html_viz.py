@@ -93,8 +93,13 @@ def skeleton_points(position, quat, q, cfg=None) -> np.ndarray:
 
 
 def export_html(frames, contacts, path, dt_frame, terrain=(0.0, 1.0),
-                title="hector 3D view"):
-    """frames: (T, 26, 3) float array; contacts: (T, 2) bools."""
+                forces=None, title="hector 3D view"):
+    """frames: (T, 26, 3) float array; contacts: (T, 2) bools; forces:
+    optional (T, 2, 3) per-leg world GRF [N] rendered as arrows from each
+    toe-box centroid (the draw_force_plugin analog,
+    unitree_gazebo/plugin/draw_force_plugin.cc -- its /20 world-unit
+    scale makes 100 N a 5 m line, so the viewer uses /200 for
+    legibility)."""
     frames = np.asarray(frames, float)
     data = dict(
         dt=float(dt_frame),
@@ -102,6 +107,9 @@ def export_html(frames, contacts, path, dt_frame, terrain=(0.0, 1.0),
         terrain=[float(terrain[0]), float(terrain[1])],
         contact=np.asarray(contacts, int).tolist(),
         pts=[[[round(float(v), 3) for v in p] for p in f] for f in frames])
+    if forces is not None:
+        data["force"] = [[[round(float(v), 1) for v in leg] for leg in f]
+                         for f in np.asarray(forces, float)]
     html = _TEMPLATE.replace("__TITLE__", title).replace(
         "__DATA__", json.dumps(data, separators=(",", ":")))
     with open(path, "w") as f:
@@ -169,6 +177,16 @@ function draw(){const f=D.pts[fi],con=D.contact[fi];
   if(a<8)col='#9aa7ff';
   cx.strokeStyle=col;cx.beginPath();
   cx.moveTo(P[a][0],P[a][1]);cx.lineTo(P[b][0],P[b][1]);cx.stroke();});
+ if(D.force){const fr=D.force[fi];cx.strokeStyle='#ff6b6b';
+  [[13,17],[22,26]].forEach(([a,b],leg)=>{
+   let gx=0,gy=0,gz=0;
+   for(let k=a;k<b;k++){gx+=f[k][0];gy+=f[k][1];gz+=f[k][2];}
+   const cpt=[gx/4,gy/4,gz/4];
+   const tip=[cpt[0]+fr[leg][0]/200,cpt[1]+fr[leg][1]/200,
+              cpt[2]+fr[leg][2]/200];
+   const p0=proj(cpt,c),p1=proj(tip,c);
+   cx.beginPath();cx.moveTo(p0[0],p0[1]);cx.lineTo(p1[0],p1[1]);
+   cx.stroke();});}
  document.getElementById('tlab').textContent=
   't='+(fi*D.dt).toFixed(2)+'s  frame '+fi+'/'+(D.pts.length-1);
  scrub.value=fi;}
