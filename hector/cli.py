@@ -171,29 +171,18 @@ def cmd_teleop(args):
 
 def cmd_view(args):
     """Live ANSI side-view of a running sim (the Gazebo-GUI/rviz analog,
-    hector/io/live.py): one MPC period per frame, paced near real time."""
+    hector/io/live.py): one MPC period per frame, paced near real time;
+    --plant whole-body watches the articulated physics."""
     _cpu_backend(args)
     import time as _time
     import numpy as np
-    import jax
     from . import runtime as RT
     from . import math as hm
-    from . import worlds
-    from .plant import srb
-    from .config import DEFAULT_CONFIG
     from .io import live
 
-    CFG, terrain = worlds.apply(args.world, DEFAULT_CONFIG)
-    plant = srb.init_plant_state(CFG)
-    carry = RT.init_controller_carry(plant, CFG)
-    cmd = (RT.standing_command() if args.gait == "standing"
-           else RT.walking_command(vx=args.vx, vy=args.vy,
-                                   yaw_rate=args.yaw_rate,
-                                   step_height=terrain.step_height,
-                                   step_length=terrain.step_length))
-    roll = RT.make_rollout(1, cfg=CFG, batched=False)
+    CFG, cmd, plant, carry, roll = _setup_scenario(args, n_periods=1)
     period = CFG.mpc.dt * CFG.mpc.mpc_cadence
-    n_frames = int(args.seconds / period)
+    n_frames = max(1, int(args.seconds / period))
     cmd_text = (f"cmd vx={args.vx:+.2f} vy={args.vy:+.2f} "
                 f"wz={args.yaw_rate:+.2f}  world={args.world}")
     t = 0.0
@@ -201,7 +190,9 @@ def cmd_view(args):
         t0 = _time.perf_counter()
         carry, plant, diags = roll(carry, plant, cmd)
         t += period
-        hips_w, feet_w, contact = live.frame_geometry(plant, CFG)
+        obs = (RT.whole_body_observation(plant)
+               if args.plant == "whole-body" else plant)
+        hips_w, feet_w, contact = live.frame_geometry(obs, CFG)
         fz = np.asarray(diags["wrench"], float)[0, :, 2]
         frame = live.render_frame(
             np.asarray(plant.position), np.asarray(
@@ -322,6 +313,9 @@ def main(argv=None):
     v.add_argument("--yaw-rate", type=float, default=0.0)
     v.add_argument("--seconds", type=float, default=5.0)
     v.add_argument("--world", default="normal")
+    v.add_argument("--plant", choices=["srb", "whole-body"], default="srb")
+    v.add_argument("--estimator", choices=["cheater", "filtered", "kf"],
+                   default="cheater")
     v.add_argument("--speed", type=float, default=1.0,
                    help="playback speed multiple of real time; 0 = "
                         "as fast as the rollout runs")
