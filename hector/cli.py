@@ -26,19 +26,24 @@ def _cpu_backend(args):
         jax.config.update("jax_platforms", args.platform)
 
 
-def _setup_scenario(args, n_periods):
-    """Shared scenario setup for run/export-html: world config, command,
-    plant state, controller carry, and the jitted rollout (srb or
-    whole-body, per --plant/--estimator).  The command carries the
-    world's terrain ONLY for the walking gait (standing pins flat
-    ground), so downstream consumers must read terrain from the COMMAND,
-    not the world, to match what the plant actually simulated."""
+def _setup_scenario(args, n_periods=None, seconds=None):
+    """Shared scenario setup for run/view/export-html: world config,
+    command, plant state, controller carry, and the jitted rollout (srb
+    or whole-body, per --plant/--estimator).  Pass either n_periods or
+    seconds (converted with the WORLD-APPLIED config's period, so a
+    preset changing mpc timing keeps durations correct).  The command
+    carries the world's terrain ONLY for the walking gait (standing pins
+    flat ground), so downstream consumers must read terrain from the
+    COMMAND, not the world, to match what the plant actually
+    simulated."""
     from . import runtime as RT
     from . import worlds
     from .plant import srb
     from .config import DEFAULT_CONFIG
 
     CFG, terrain = worlds.apply(args.world, DEFAULT_CONFIG)
+    if n_periods is None:
+        n_periods = int(seconds / (CFG.mpc.dt * CFG.mpc.mpc_cadence))
     cmd = (RT.standing_command() if args.gait == "standing"
            else RT.walking_command(vx=args.vx, vy=args.vy,
                                    yaw_rate=args.yaw_rate,
@@ -62,12 +67,10 @@ def _setup_scenario(args, n_periods):
 
 def cmd_run(args):
     _cpu_backend(args)
-    from .config import DEFAULT_CONFIG
     from .io.metrics import summarize_rollout
 
-    n_periods = int(args.seconds / (DEFAULT_CONFIG.mpc.dt
-                                    * DEFAULT_CONFIG.mpc.mpc_cadence))
-    CFG, cmd, plant, carry, roll = _setup_scenario(args, n_periods)
+    CFG, cmd, plant, carry, roll = _setup_scenario(
+        args, seconds=args.seconds)
     carry, plant, diags = roll(carry, plant, cmd)
     summary = summarize_rollout(diags)
     summary["x_traveled"] = float(plant.position[0])

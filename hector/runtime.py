@@ -90,7 +90,8 @@ def init_controller_carry(plant: srb.PlantState,
     unused by the default cheater estimator).  noise: the sensor noise
     model -- the per-lane TRUE gyro bias is drawn HERE (est_init), so a
     caller configuring a custom SensorNoise must pass the same model here
-    and to est_update for the two to agree."""
+    and to the rollout factory (make_rollout/make_rollout_whole_body
+    ``noise=``, which threads it to every est_update tick)."""
     dtype = plant.position.dtype
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -157,7 +158,8 @@ def controller_tick(carry: ControllerCarry, plant: srb.PlantState,
                     cmd: ScenarioCommand, do_mpc: bool,
                     cfg: HectorConfig = DEFAULT_CONFIG,
                     estimator: str = 'cheater',
-                    est_ground_z: float = 0.0):
+                    est_ground_z: float = 0.0,
+                    noise: EST.SensorNoise = EST.SensorNoise()):
     """One 1 kHz FSM tick (FSM::run -> FSMState_Walking::run,
     FSM.cpp:28-57, FSMState_Walking.cpp:26-41).
 
@@ -176,7 +178,8 @@ def controller_tick(carry: ControllerCarry, plant: srb.PlantState,
     # perception-heightmap analog), evaluated at the filter's own foot-x
     # estimates -- never the plant's runtime ground truth.
     est_state, est = EST.est_update(
-        estimator, carry.est, plant, cfg, ground_z=est_ground_z,
+        estimator, carry.est, plant, cfg, noise=noise,
+        ground_z=est_ground_z,
         terrain=(cmd.terrain_step_height, cmd.terrain_step_length))
     mode = C.apply_safety(carry.mode, est)
 
@@ -245,7 +248,8 @@ def controller_tick(carry: ControllerCarry, plant: srb.PlantState,
 
 def make_rollout(n_periods: int, cfg: HectorConfig = DEFAULT_CONFIG,
                  batched: bool = True, with_disturbance: bool = False,
-                 estimator: str = 'cheater', with_schedule: bool = False):
+                 estimator: str = 'cheater', with_schedule: bool = False,
+                 noise: 'EST.SensorNoise' = EST.SensorNoise()):
     """Build a jitted rollout of ``n_periods`` MPC periods (5 ticks each).
 
     Returns rollout(carry, plant, cmd[, disturbance][, schedule]) ->
@@ -268,6 +272,9 @@ def make_rollout(n_periods: int, cfg: HectorConfig = DEFAULT_CONFIG,
 
     estimator: static estimator kind driving the controller
     (hector/estimation.py; default = the reference's cheater configuration).
+    noise: the sensor noise model for non-cheater estimators; pass the
+    SAME model to init_controller_carry (which draws the per-lane true
+    gyro bias from it) so the sensor model is consistent end to end.
     """
 
     def rollout(carry, plant, cmd, disturbance=None, schedule=None):
@@ -283,7 +290,7 @@ def make_rollout(n_periods: int, cfg: HectorConfig = DEFAULT_CONFIG,
             for k in range(cfg.mpc.mpc_cadence):
                 c, motor_cmd, wrench, stance, diag = controller_tick(
                     c, p, cmd_t, do_mpc=(k == 0), cfg=cfg,
-                    estimator=estimator)
+                    estimator=estimator, noise=noise)
                 if k == 0:
                     # GRF/contact telemetry channel (the analog of the
                     # foot_contact_plugin wrench topics,
@@ -359,7 +366,8 @@ def make_rollout_whole_body(n_periods: int,
                             with_disturbance: bool = False,
                             estimator: str = 'cheater',
                             with_schedule: bool = False,
-                            ccfg=None, n_substeps: int = 4):
+                            ccfg=None, n_substeps: int = 4,
+                            noise: 'EST.SensorNoise' = EST.SensorNoise()):
     """Tier-2 rollout: same controller, full articulated plant
     (hector/plant/whole_body.py).  The controller consumes the plant state
     through the same observation fields; contact is emergent from the
@@ -399,7 +407,7 @@ def make_rollout_whole_body(n_periods: int,
                 obs = whole_body_observation(p)
                 c, motor_cmd, wrench, stance, diag = controller_tick(
                     c, obs, cmd_t, do_mpc=(k == 0), cfg=cfg,
-                    estimator=estimator,
+                    estimator=estimator, noise=noise,
                     est_ground_z=WB.FK_FOOT_CLEARANCE)
                 if k == 0:
                     diag0 = {**diag, "wrench": wrench, "contact": stance}

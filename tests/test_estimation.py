@@ -304,3 +304,27 @@ def test_imu_gravity_matches_world_preset():
     for _ in range(50):
         st, est = E.est_update('kf', st, plant, cfg0)
     assert np.abs(np.asarray(st.kf.x[3:6])).max() < 0.05
+
+
+def test_rollout_threads_custom_noise_model():
+    """The noise model passed to make_rollout reaches every est_update
+    tick (review r4): with a zero-noise/zero-bias model the Mahony yaw
+    drift over a 0.5 s stand is essentially machine-zero, which cannot
+    happen if any tick fell back to the default SensorNoise."""
+    from hector import runtime as RT
+
+    noise = E.SensorNoise(pos_std=0.0, vel_std=0.0, gyro_std=0.0,
+                          quat_std=0.0, accel_std=0.0, gyro_bias_std=0.0)
+    plant = srb.init_plant_state(CFG)
+    carry = RT.init_controller_carry(plant, CFG,
+                                     key=jax.random.PRNGKey(2),
+                                     noise=noise)
+    roll = RT.make_rollout(100, cfg=CFG, batched=False, estimator='kf',
+                           noise=noise)
+    c, p, d = roll(carry, plant, RT.standing_command())
+    assert not np.asarray(d['fallen']).any()
+    from hector import math as hm
+    yaw_err = float(hm.quat_to_rpy(c.est.mahony.quat)[2]
+                    - hm.quat_to_rpy(p.quat)[2])
+    assert abs(yaw_err) < 1e-4     # default noise would drift ~1e-3..1e-2
+    assert float(np.abs(np.asarray(c.est.gyro_bias)).max()) == 0.0
