@@ -121,34 +121,60 @@ N_SEGMENTS = 10  # gait table length == MPC horizon (GaitGenerator ctor args)
 MODE_CMD_NONE = -1
 
 
+def reentry_estimate(estimator: str, carry: ControllerCarry,
+                     plant: srb.PlantState) -> C.StateEstimate:
+    """The state estimate available at an FSM re-entry instant, per
+    estimator kind: the honest 'kf' path re-enters from its OWN filter
+    state (KF position/velocity + Mahony attitude; omega is irrelevant to
+    the re-init and set to zero), never from plant truth.  'filtered'
+    re-enters from its IIR state (quat channel is that path's documented
+    staging cheat); 'cheater' from ground truth, as the reference does."""
+    dtype = plant.position.dtype
+    if estimator == 'kf':
+        return C.estimate_state(
+            carry.est.kf.x[0:3], carry.est.kf.x[3:6],
+            carry.est.mahony.quat, jnp.zeros(3, dtype))
+    if estimator == 'filtered':
+        return C.estimate_state(carry.est.filt.pos, carry.est.filt.vel,
+                                plant.quat, plant.omega_world)
+    return C.estimate_state(plant.position, plant.v_world, plant.quat,
+                            plant.omega_world)
+
+
 def reenter_walking(carry: ControllerCarry, plant: srb.PlantState,
-                    cfg: HectorConfig = DEFAULT_CONFIG) -> ControllerCarry:
+                    cfg: HectorConfig = DEFAULT_CONFIG,
+                    est: C.StateEstimate = None) -> ControllerCarry:
     """FSMState_Walking::enter() + ConvexMPCLocomotion firstRun
     (ConvexMPCLocomotion.cpp:66-111) as a pure re-initialization of the
-    planner/swing carry at the CURRENT plant state -- applied per lane when
-    a mode command flips it back to walking."""
+    planner/swing carry at the CURRENT state -- applied per lane when a
+    mode command flips it back to walking.  est: the estimate to re-enter
+    from (reentry_estimate); None = ground truth (cheater)."""
     dtype = plant.position.dtype
-    est = C.estimate_state(plant.position, plant.v_world, plant.quat,
-                           plant.omega_world)
+    if est is None:
+        est = C.estimate_state(plant.position, plant.v_world, plant.quat,
+                               plant.omega_world)
     p_leg = foot_position(plant.q, cfg)
     p_foot_w = M.foot_positions_world(est, p_leg, cfg)
     return carry._replace(
-        planner=M.init_planner_state(plant.position, dtype),
+        planner=M.init_planner_state(est.position, dtype),
         swing=SW.init_swing_state(p_foot_w, dtype),
         command=C.CommandState(yaw_des=jnp.asarray(0.0, dtype)))
 
 
 def apply_mode_command(carry: ControllerCarry, plant: srb.PlantState,
-                       mode_cmd, cfg: HectorConfig = DEFAULT_CONFIG):
+                       mode_cmd, cfg: HectorConfig = DEFAULT_CONFIG,
+                       estimator: str = 'cheater'):
     """The FSM NORMAL/CHANGE step (FSM.cpp:37-54) as a per-lane mode update:
     a non-negative mode_cmd requests that state; entering WALKING re-runs
     the walking enter() initialization (exit()/enter() pair of the
-    reference's CHANGE branch)."""
+    reference's CHANGE branch) from the ESTIMATE the active estimator kind
+    provides (reentry_estimate) -- the honest path never touches truth."""
     req = jnp.asarray(mode_cmd, carry.mode.dtype)
     new_mode = jnp.where(req >= 0, req, carry.mode)
     entering_walk = (new_mode == C.MODE_WALKING) & \
         (carry.mode != C.MODE_WALKING)
-    fresh = reenter_walking(carry, plant, cfg)
+    fresh = reenter_walking(carry, plant, cfg,
+                            est=reentry_estimate(estimator, carry, plant))
     merged = jax.tree.map(
         lambda f, c: jnp.where(entering_walk, f, c), fresh, carry)
     return merged._replace(mode=new_mode)
@@ -285,7 +311,8 @@ def make_rollout(n_periods: int, cfg: HectorConfig = DEFAULT_CONFIG,
             (c0, p0) = state
             c, p = c0, p0
             if with_schedule:
-                c = apply_mode_command(c, p, mode_cmd, cfg)
+                c = apply_mode_command(c, p, mode_cmd, cfg,
+                                       estimator=estimator)
             diag0 = None
             for k in range(cfg.mpc.mpc_cadence):
                 c, motor_cmd, wrench, stance, diag = controller_tick(
@@ -401,7 +428,7 @@ def make_rollout_whole_body(n_periods: int,
             c, p = c0, p0
             if with_schedule:
                 c = apply_mode_command(c, whole_body_observation(p),
-                                       mode_cmd, cfg)
+                                       mode_cmd, cfg, estimator=estimator)
             diag0 = None
             for k in range(cfg.mpc.mpc_cadence):
                 obs = whole_body_observation(p)

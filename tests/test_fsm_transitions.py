@@ -115,3 +115,40 @@ def test_batched_lanes_switch_independently():
     # the passive lane stopped producing forward motion; the other didn't
     x = np.asarray(plant.position[:, 0])
     assert x[1] > x[0]
+
+
+def test_passive_then_walking_kf_driven_reenters_from_estimate():
+    """The honest-path FSM re-entry (runtime.reentry_estimate): commanded
+    passive -> walking with estimator='kf' re-initializes the planner from
+    the FILTER's own state (KF position + Mahony attitude), never plant
+    truth -- and the re-entered controller still recovers the walk."""
+    n = 200
+    walk = RT.walking_command(vx=0.3)
+
+    def mode_fn(t):
+        if t == 50:
+            return C.MODE_PASSIVE
+        if t == 62:
+            return C.MODE_WALKING
+        return RT.MODE_CMD_NONE
+
+    cmd_t, mode_t = _schedule(n, lambda t: walk, mode_fn)
+    roll = RT.make_rollout(n, cfg=CFG, batched=False, with_schedule=True,
+                           estimator='kf')
+    plant = srb.init_plant_state(CFG)
+    carry = RT.init_controller_carry(plant, CFG,
+                                     key=jax.random.PRNGKey(4))
+    carry, plant, diags = roll(carry, plant, walk, (cmd_t, mode_t))
+    mode = np.asarray(diags['mode'])
+    assert (mode[50:62] == C.MODE_PASSIVE).all()
+    assert (mode[65:] == C.MODE_WALKING).all()
+    assert not np.asarray(diags['fallen'])[-20:].any()
+    # the KF's ~1 cm kinematic droop (test_walking_on_contact_aided_kf)
+    # compounds with the post-passive recovery: 0.38 bar, same as tier-1 KF
+    assert np.asarray(diags['height'])[-20:].min() > 0.38
+    # the re-entry consumed the estimate: unit-check the helper directly
+    est = RT.reentry_estimate('kf', carry, plant)
+    np.testing.assert_allclose(np.asarray(est.position),
+                               np.asarray(carry.est.kf.x[0:3]))
+    np.testing.assert_allclose(np.asarray(est.quat),
+                               np.asarray(carry.est.mahony.quat))
