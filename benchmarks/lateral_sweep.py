@@ -203,9 +203,18 @@ def main():
             purpose="tier-2 lateral envelope contact-model + solver "
                     "sensitivity (VERDICT r3 item 1)",
             reference_envelope="vy +-0.25 (FSMState_Walking.cpp:31)",
-            conclusion=ADJUDICATION,
+            r4_adjudication=ADJUDICATION,
             rows=rows)
     doc["arm_summary"] = _arm_summary(doc["rows"])
+    # the baked adjudication text is the r4 historical record; flag whether
+    # THIS run's rows still support its headline claim (no fall in any
+    # non-counterfactual default/fixed-sigma lane) so a divergent re-run
+    # cannot silently ship a contradicted conclusion
+    smooth_falls = sum(
+        1 for r in doc["rows"]
+        if r["solver"] in ("default", "fixed-sigma")
+        and r.get("variant") != "toe_width_x2" and r["fell"])
+    doc["r4_adjudication_consistent_with_rows"] = smooth_falls == 0
     if out:
         with open(out, "w") as f:
             json.dump(doc, f, indent=1)

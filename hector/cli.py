@@ -225,8 +225,9 @@ def cmd_export_html(args):
     period = CFG.mpc.dt * CFG.mpc.mpc_cadence
     n_frames = max(1, int(args.seconds / period))
     if args.plant == "whole-body":
+        from .plant import whole_body as _WB
         get_contact = lambda p: np.asarray(
-            p.sticking).reshape(2, -1).any(axis=-1)
+            p.sticking[:_WB.N_TOE]).reshape(2, -1).any(axis=-1)
     else:
         get_contact = lambda p: np.asarray(p.contact) > 0
     frames, contacts, forces = [], [], []

@@ -18,6 +18,7 @@ from (position, quat, q), which both PlantState and WholeBodyState carry.
 
 from __future__ import annotations
 
+import html as _html
 import json
 
 import numpy as np
@@ -110,7 +111,7 @@ def export_html(frames, contacts, path, dt_frame, terrain=(0.0, 1.0),
     if forces is not None:
         data["force"] = [[[round(float(v), 1) for v in leg] for leg in f]
                          for f in np.asarray(forces, float)]
-    html = _TEMPLATE.replace("__TITLE__", title).replace(
+    html = _TEMPLATE.replace("__TITLE__", _html.escape(title)).replace(
         "__DATA__", json.dumps(data, separators=(",", ":")))
     with open(path, "w") as f:
         f.write(html)

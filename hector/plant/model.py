@@ -111,19 +111,32 @@ def leg_model(mirror: float):
 TRUNK_MASS = 4.87
 TRUNK_INERTIA = np.diag([0.052, 0.0441, 0.0184])
 
-# contact points in the toe frame: front/heel edge of the sole box
-# (collision origin (0.01, 0.0194 m, -0.02), box 0.15 x 0.02 x 0.04)
-# Contact corners of the toe collision box (const.xacro: toe_length 0.15,
-# toe_width 0.02, toe_height 0.04 centered at toe_x 0.01) -- the box's
-# bottom face corners.  The 2 cm width matters: it is the foot's only roll
-# support/damping in single stance; modeling the foot as a zero-width line
-# (the r1 two-point version) removes all lateral contact stiffness and the
+# Contact corners of the toe collision box (leg.xacro toe <collision>:
+# origin xyz = (toe_x, toe_y*mirror, toe_z) = (0.01, +-0.0194, -0.02),
+# box toe_length x toe_width x toe_height = 0.15 x 0.02 x 0.04;
+# const.xacro toe block) -- the box's bottom face corners.
+#
+# DOCUMENTED DIVERGENCE from the URDF (tests/test_model_urdf.py): the
+# URDF sole sits toe_y = 19.4 mm OUTBOARD of the toe frame per leg; we
+# model it CENTERED (y = +-half_width about 0), matching the
+# *controller's* foot model (the reference FK/IK/Raibert pipeline,
+# LegController.cpp:108-195, knows nothing of toe_y either).  With the
+# outboard offset enabled the closed loop develops a lateral limit cycle
+# and falls within ~1.5 s of walking -- the controller regulates roll
+# about a foot line 2 cm inboard of the true patch.  The offset is kept
+# as a sensitivity axis (ContactConfig.toe_y_offset; the lateral-sweep
+# harness can probe it) rather than a silent geometry choice.
+#
+# The 2 cm width matters: it is the foot's only roll support/damping in
+# single stance; modeling the foot as a zero-width line (the r1
+# two-point version) removes all lateral contact stiffness and the
 # walking gait develops a growing lateral rocking limit cycle.
+TOE_BOX_Y_CENTER = 0.0194   # the URDF's outboard offset (unused default)
 CONTACT_POINTS_TOE = np.array([
-    [0.085, 0.01, -0.04],    # toe tip, outer
-    [0.085, -0.01, -0.04],   # toe tip, inner
-    [-0.065, 0.01, -0.04],   # heel, outer
-    [-0.065, -0.01, -0.04],  # heel, inner
+    [0.085, 0.01, -0.04],    # toe tip, outboard
+    [0.085, -0.01, -0.04],   # toe tip, inboard
+    [-0.065, 0.01, -0.04],   # heel, outboard
+    [-0.065, -0.01, -0.04],  # heel, inboard
 ])
 
 

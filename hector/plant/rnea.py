@@ -180,22 +180,45 @@ def bias_forces(base_pos, base_rot, q, nu, gravity):
     return rnea(base_pos, base_rot, q, nu, zero, gravity)
 
 
-def contact_points_and_jac(base_pos, base_rot, q, nu, cps=None):
+# Trunk collision-box corners in the trunk frame (robot.xacro:49-54:
+# <box size="trunk_length trunk_width trunk_height"> at the trunk origin,
+# const.xacro: 0.125 x 0.19 x 0.248).  These give a falling tier-2 body
+# physical ground contact (the Gazebo analog collides every link), so falls
+# come to rest on the plant instead of passing through into NaN quarantine.
+TRUNK_CORNERS = np.array(
+    [[sx * 0.0625, sy * 0.095, sz * 0.124]
+     for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)])
+N_BODY_POINTS = len(TRUNK_CORNERS) + 2   # + one knee point per leg
+
+
+def contact_points_and_jac(base_pos, base_rot, q, nu, cps=None,
+                           include_body: bool = False):
     """World contact points (P, 3), their velocities (P, 3), and the
     contact jacobian J (P, 3, 16) via unit generalized velocities
-    (P = 2 legs x len(CONTACT_POINTS_TOE)).
+    (P = 2 legs x len(CONTACT_POINTS_TOE) [+ N_BODY_POINTS]).
 
     cps: optional (P/2, 3) toe-frame contact offsets overriding the URDF
-    box corners (contact-geometry sensitivity studies)."""
+    box corners (contact-geometry sensitivity studies).
+    include_body: append the trunk-box corners and the knee (calf-origin)
+    points -- the fall-contact geometry (toe points stay FIRST so
+    per-leg slicing of the leading 2*len(cps) entries is unchanged)."""
     dtype = base_pos.dtype
     if cps is None:
         cps = jnp.asarray(mdl.CONTACT_POINTS_TOE, dtype)
+    # per-leg mirror of the toe-box y offset (leg.xacro toe collision
+    # origin y = toe_y*mirror): cps is given in the LEFT toe frame
+    cps2 = jnp.stack([cps, cps * jnp.asarray([1.0, -1.0, 1.0], dtype)])
 
     rots, orgs, _ = fk_chain(base_pos, base_rot, q)
     toe_rot = rots[:, 4]
     toe_org = orgs[:, 4]
     pts = (toe_org[:, None, :]
-           + jnp.einsum('lab,pb->lpa', toe_rot, cps)).reshape(-1, 3)
+           + jnp.einsum('lab,lpb->lpa', toe_rot, cps2)).reshape(-1, 3)
+    if include_body:
+        rc_trunk = jnp.einsum('ab,pb->pa', base_rot,
+                              jnp.asarray(TRUNK_CORNERS, dtype))
+        pts = jnp.concatenate(
+            [pts, base_pos[None] + rc_trunk, orgs[:, 3]], axis=0)
 
     def point_vel(nu_):
         v0, w0 = nu_[0:3], nu_[3:6]
@@ -219,9 +242,12 @@ def contact_points_and_jac(base_pos, base_rot, q, nu, cps=None):
         v_toe = v_orgs[:, 4]
         vp = (v_toe[:, None, :] + jnp.cross(
             w_toe[:, None, :],
-            jnp.einsum('lab,pb->lpa', toe_rot, cps))).reshape(-1, 3)
+            jnp.einsum('lab,lpb->lpa', toe_rot, cps2))).reshape(-1, 3)
+        if include_body:
+            vp_trunk = v0[None] + jnp.cross(w0[None], rc_trunk)
+            vp = jnp.concatenate([vp, vp_trunk, v_orgs[:, 3]], axis=0)
         return vp
 
     vels = point_vel(nu)
-    jac = jax.vmap(point_vel)(jnp.eye(_N_DOF, dtype=dtype))   # (16,4,3)
+    jac = jax.vmap(point_vel)(jnp.eye(_N_DOF, dtype=dtype))   # (16,P,3)
     return pts, vels, jnp.transpose(jac, (1, 2, 0))

@@ -23,10 +23,14 @@ import jax.numpy as jnp
 from ..config import HectorConfig, DEFAULT_CONFIG
 from .. import math as hm
 from . import rnea
-from .model import CONTACT_POINTS_TOE
+from .model import CONTACT_POINTS_TOE, TOE_BOX_Y_CENTER
 from .srb import terrain_height
 
-N_CONTACT = 2 * len(CONTACT_POINTS_TOE)   # both legs
+N_TOE = 2 * len(CONTACT_POINTS_TOE)       # both legs' toe-box corners
+# + trunk-box corners and knee points (rnea.TRUNK_CORNERS; robot.xacro
+# collision boxes): a falling body lands on physics, not NaN quarantine.
+# Toe points stay FIRST so per-leg slices of [:N_TOE] are unchanged.
+N_CONTACT = N_TOE + rnea.N_BODY_POINTS
 
 # Height of the reference FK foot point (LegController.cpp:190-194 chain,
 # hector/kinematics.foot_position) above the ground plane when the toe box
@@ -60,10 +64,23 @@ class ContactConfig(NamedTuple):
     mu: float = 1.0            # toe friction (gazebo mu1)
     k_anchor: float = 2.0e4    # N/m stiction spring toward the anchor
     k_tangent: float = 2.0e3   # N s/m tangential damping (implicit)
-    # diagnostic axis for contact-geometry sensitivity studies
-    # (benchmarks/lateral_sweep.py): scales the toe-box corner y spacing
-    # away from the URDF's 2 cm; 1.0 = the real geometry
+    # energy backstops for violent impacts -- the penalty-model analog of
+    # ODE's <contact_max_correcting_vel>10</> + <contact_surface_layer>
+    # (normal.world constraints block): the spring force saturates at
+    # pen_cap penetration, and base velocities are clamped far outside
+    # the operating envelope (walking: |v|<2, |w|<5).  Without these an
+    # explicit stiff spring under a fast-tumbling body pumps energy.
+    pen_cap: float = 0.02      # m, spring saturation depth (2000 N/point)
+    v_cap: float = 10.0        # m/s  (= ODE contact_max_correcting_vel)
+    w_cap: float = 30.0        # rad/s
+    # diagnostic axes for contact-geometry sensitivity studies
+    # (benchmarks/lateral_sweep.py): toe_halfwidth_scale scales the
+    # toe-box corner y spacing away from the URDF's 2 cm (1.0 = real);
+    # toe_y_offset shifts the box outboard per leg -- the URDF's actual
+    # toe_y = 0.0194 m, modeled as 0 in production (documented divergence,
+    # plant/model.py CONTACT_POINTS_TOE comment)
     toe_halfwidth_scale: float = 1.0
+    toe_y_offset: float = 0.0
 
 
 def init_whole_body_state(height: float = 0.55,
@@ -94,7 +111,7 @@ def contact_forces(points, vels, anchor, sticking, terrain,
     else:
         ground = jnp.zeros(points.shape[0], points.dtype)
     phi = points[:, 2] - ground
-    pen = jnp.maximum(0.0, -phi)
+    pen = jnp.minimum(jnp.maximum(0.0, -phi), ccfg.pen_cap)
     in_contact = phi < 0
     fn_spring = ccfg.k_normal * pen * in_contact
     # conservative normal-force estimate for the friction cone
@@ -132,10 +149,12 @@ def step(state: WholeBodyState, cmd, cfg: HectorConfig = DEFAULT_CONFIG,
     """
     dtype = state.position.dtype
     dt = jnp.asarray(cfg.plant.dt / n_substeps, dtype)
-    cps = jnp.asarray(CONTACT_POINTS_TOE, dtype) * jnp.stack(
-        [jnp.asarray(1.0, dtype),
-         jnp.asarray(ccfg.toe_halfwidth_scale, dtype),
-         jnp.asarray(1.0, dtype)])
+    # toe_halfwidth_scale widens the corner spread; toe_y_offset shifts
+    # the box outboard (LEFT-frame cps; rnea mirrors y per leg)
+    cps0 = jnp.asarray(CONTACT_POINTS_TOE, dtype)
+    s_w = jnp.asarray(ccfg.toe_halfwidth_scale, dtype)
+    y_off = jnp.asarray(ccfg.toe_y_offset, dtype)
+    cps = cps0.at[:, 1].set(y_off + s_w * cps0[:, 1])
 
     joint_damping = jnp.asarray(0.1, dtype)  # URDF <dynamics damping>
 
@@ -156,7 +175,7 @@ def step(state: WholeBodyState, cmd, cfg: HectorConfig = DEFAULT_CONFIG,
         bias = rnea.bias_forces(s.position, rot, s.q, nu, cfg.plant.gravity)
 
         pts, vels, jac = rnea.contact_points_and_jac(
-            s.position, rot, s.q, nu, cps=cps)
+            s.position, rot, s.q, nu, cps=cps, include_body=True)
         f0, d_gain, anchor, sticking = contact_forces(
             pts, vels, s.anchor, s.sticking, terrain, ccfg)
         # implicit contact damping: f_c = f0 - D (v + dt J nu_dot)
@@ -176,13 +195,24 @@ def step(state: WholeBodyState, cmd, cfg: HectorConfig = DEFAULT_CONFIG,
 
         v_new = s.v_world + dt * nu_dot[0:3]
         w_new = s.omega_world + dt * nu_dot[3:6]
+        # base-velocity energy backstop (see ContactConfig.v_cap/w_cap)
+        v_new = v_new * jnp.minimum(
+            1.0, ccfg.v_cap / jnp.maximum(jnp.linalg.norm(v_new), 1e-9))
+        w_new = w_new * jnp.minimum(
+            1.0, ccfg.w_cap / jnp.maximum(jnp.linalg.norm(w_new), 1e-9))
         qd_new = jnp.clip(s.qd + dt * nu_dot[6:].reshape(2, 5),
                           -cfg.plant.joint_vel_limit,
                           cfg.plant.joint_vel_limit)
-        # URDF joint limits (hip/hip2 +-45deg, knee chain +-100deg)
+        # URDF joint limits (hip/hip2 +-45deg, knee chain +-100deg); a
+        # pinned joint also sheds its outward velocity (an inelastic joint
+        # stop) -- clipping q alone would leave phantom qd feeding RNEA
         q_lim = jnp.asarray([0.785, 0.785, 1.745, 1.745, 1.745],
                             dtype)[None, :]
-        q_new = jnp.clip(s.q + dt * qd_new, -q_lim, q_lim)
+        q_raw = s.q + dt * qd_new
+        q_new = jnp.clip(q_raw, -q_lim, q_lim)
+        qd_new = jnp.where((q_raw > q_lim) & (qd_new > 0), 0.0,
+                           jnp.where((q_raw < -q_lim) & (qd_new < 0), 0.0,
+                                     qd_new))
         return WholeBodyState(
             position=s.position + dt * v_new,
             quat=hm.quat_integrate(s.quat, w_new, dt),

@@ -365,7 +365,17 @@ def make_rollout(n_periods: int, cfg: HectorConfig = DEFAULT_CONFIG,
         fn = lambda carry, plant, cmd: rollout(carry, plant, cmd, None, None)
     if batched:
         fn = jax.vmap(fn)
-    return jax.jit(fn)
+    out = jax.jit(fn)
+
+    def init(plant, key=None):
+        """init_controller_carry bound to THIS rollout's cfg/noise -- the
+        single surface that keeps the per-lane true-bias draw and the
+        per-tick noise stream on the same SensorNoise model (vmap over a
+        batched plant/key yourself when batched=True)."""
+        return init_controller_carry(plant, cfg, key=key, noise=noise)
+
+    out.init = init
+    return out
 
 
 def whole_body_observation(p) -> srb.PlantState:
@@ -380,7 +390,7 @@ def whole_body_observation(p) -> srb.PlantState:
     from .plant import whole_body as WB
 
     pts = WB.foot_positions(p)                       # (2, 4, 3) world
-    contact = p.sticking.reshape(2, -1).any(axis=-1)
+    contact = p.sticking[:WB.N_TOE].reshape(2, -1).any(axis=-1)
     return srb.PlantState(
         position=p.position, quat=p.quat, v_world=p.v_world,
         omega_world=p.omega_world, q=p.q, qd=p.qd,
@@ -474,7 +484,17 @@ def make_rollout_whole_body(n_periods: int,
         fn = lambda carry, plant, cmd: rollout(carry, plant, cmd, None, None)
     if batched:
         fn = jax.vmap(fn)
-    return jax.jit(fn)
+    out = jax.jit(fn)
+
+    def init(plant_wb, key=None):
+        """init_controller_carry from the tier-2 plant state through
+        whole_body_observation, bound to THIS rollout's cfg/noise (the
+        single noise surface; see make_rollout.init)."""
+        return init_controller_carry(whole_body_observation(plant_wb), cfg,
+                                     key=key, noise=noise)
+
+    out.init = init
+    return out
 
 
 def plan_step_fn(cfg: HectorConfig = DEFAULT_CONFIG):

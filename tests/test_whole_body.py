@@ -406,3 +406,30 @@ def test_whole_body_push_recovery_kf_driven():
     assert np.asarray(d['height']).min() > 0.45
     assert abs(float(p.position[1])) < 0.2          # caught by stepping
     assert abs(float(c.est.kf.x[1] - p.position[1])) < 0.03
+
+
+def test_whole_body_physical_fall_comes_to_rest():
+    """A 250 N / 0.3 s lateral shove is unrecoverable; with the trunk-box +
+    knee contact points (rnea.TRUNK_CORNERS; collision geometry of
+    robot.xacro:49-54) the fall is PHYSICAL: the body topples, lands on
+    trunk/knee contacts, slides, and comes to rest on the ground with a
+    finite state and mode=passive -- NaN quarantine never fires (the
+    Gazebo analog: every link has collision geometry, so falls end on the
+    floor, not in an integrator blowup)."""
+    dist = np.zeros((600, 6), np.float32)
+    dist[20:80, 1] = 250.0
+    roll = RT.make_rollout_whole_body(600, cfg=CFG, batched=False,
+                                      with_disturbance=True)
+    plant = WB.init_whole_body_state(height=0.545)
+    carry = roll.init(plant)
+    c, p, d = roll(carry, plant, RT.standing_command(), jnp.asarray(dist))
+    assert not np.asarray(d['quarantined']).any()
+    assert bool(np.asarray(d['fallen'])[-1])
+    assert int(c.mode) == 0                        # MODE_PASSIVE
+    for leaf in [p.position, p.quat, p.v_world, p.omega_world, p.q, p.qd]:
+        assert bool(jnp.isfinite(leaf).all())
+    # at rest ON the ground: trunk center well below standing height but
+    # above the floor (resting on its side), and velocities decayed
+    assert 0.03 < float(p.position[2]) < 0.30
+    assert float(jnp.linalg.norm(p.v_world)) < 0.05
+    assert float(jnp.linalg.norm(p.omega_world)) < 0.2
