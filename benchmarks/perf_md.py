@@ -87,6 +87,29 @@ def render(doc: dict, weak: dict | None, src_name: str,
           f"**{lt['max_batch_within_budget']:,}** end-to-end, "
           f"**{lt['max_batch_within_budget_net']:,}** net of tunnel "
           f"overhead.")
+        if lt.get("k_period_rows"):
+            a("")
+            a("### Serving mode: K device-resident periods per dispatch")
+            a("")
+            a("One dispatch runs K MPC periods on-device (the rollout "
+              "already scans periods), amortizing the round-trip; the "
+              "per-period column is END-TO-END (dispatch + K periods + "
+              "fetch)/K — no floor subtraction.")
+            a("")
+            a("| batch | K periods | dispatch total (ms) | per period (ms)"
+              " | ≤ 5 ms |")
+            a("|---|---|---|---|---|")
+            for row in lt["k_period_rows"]:
+                a(f"| {row['batch']:,} | {row['k_periods']} "
+                  f"| {row['dispatch_total_ms']} | {row['per_period_ms']} "
+                  f"| {'yes' if row['meets_budget'] else 'no'} |")
+            a("")
+            k_min = lt.get("min_k_meeting_budget_end_to_end", 0)
+            if k_min:
+                a(f"From **K = {k_min}** periods per dispatch the "
+                  f"end-to-end per-period time meets the 200 Hz budget on "
+                  f"this tunneled runtime — the real-time serving recipe, "
+                  f"demonstrated rather than extrapolated.")
     a("")
 
     a("## BASELINE configs")
@@ -201,15 +224,63 @@ def render(doc: dict, weak: dict | None, src_name: str,
         a(f"_{mh.get('caveat', '')}_")
         a("")
 
+    kp = _part("kernel_polish_tpu.json")
+    if kp:
+        a("## Literal qpOASES parity on the production kernel "
+          "(TPU-confirmed)")
+        a("")
+        a(f"The fused Pallas kernel with the active-set polish "
+          f"(`SolverConfig.polish_rounds=8`, hector/qp/pallas_riccati.py) "
+          f"vs the reference's ACTUAL vendored qpOASES "
+          f"(SolverMPC.cpp:702-712 options) on {kp['scenarios']} "
+          f"golden + operating-envelope scenarios, run through the real "
+          f"`pallas_call` on backend **{kp['backend']}**: max error "
+          f"**{kp['max_err_N']:.2e} N** (median "
+          f"{kp['median_err_N']:.1e}), bar 1e-3 N — "
+          f"**{'PASSED' if kp['passed'] else 'FAILED'}**, "
+          f"{1e-3/max(kp['max_err_N'],1e-12):.0f}× under the bar in pure "
+          f"float32.  Production closed-loop rollouts keep polish OFF "
+          f"(the interior smoothing is part of the adjudicated walking "
+          f"behavior, below).")
+        a("")
+
+    c5k = _part("config5_256k.json")
+    if c5k:
+        a("## Config 5 at stated scale: 256k-scenario campaign (1 chip)")
+        a("")
+        rs = c5k.get("resume") or {}
+        a(f"{c5k['total_scenarios']:,} scenarios ({c5k['waves']} waves × "
+          f"{c5k['batch']:,}, {c5k['periods']} MPC periods each) streamed "
+          f"through the native host pipeline on {c5k['devices']} "
+          f"{c5k['backend']} device(s): **{c5k['total_solves']:,} solves "
+          f"in {c5k['wall_s']} s wall** = "
+          f"{_fmt(c5k['sustained_solves_per_s'])} solves/s sustained "
+          f"end-to-end (incl. generation, H2D, checkpoint).  Mid-campaign "
+          f"orbax checkpoint at wave {rs.get('checkpoint_step', '?')} with "
+          f"a REAL restore-from-disk resume; health: "
+          f"{c5k['fallen_lanes_total']} fallen / "
+          f"{c5k['quarantined_lanes_total']} quarantined lanes total.")
+        a("")
+
     ls = _part("lateral_sweep.json")
     if ls:
         a("## Tier-2 lateral-envelope adjudication")
         a("")
         rows = ls["rows"]
         n_fell = sum(1 for x in rows if x["fell"])
+        arms = ls.get("arm_summary", {})
+        arm_txt = "; ".join(f"{k}: {v['falls']}/{v['lanes']} falls"
+                            for k, v in arms.items())
         a(f"{len(rows)} lanes (contact-parameter OFAT × vy ∈ ±{{0.15, "
-          f"0.20, 0.25}} × solver arm), {n_fell} falls.  "
-          f"{ls.get('conclusion', '')}")
+          f"0.20, 0.25}} × solver arm), {n_fell} falls ({arm_txt}).")
+        a("")
+        if ls.get("r5_oracle_adjudication"):
+            a(f"**r5 oracle adjudication** — "
+              f"{ls['r5_oracle_adjudication']}")
+            a("")
+        hist = ls.get("r4_adjudication", ls.get("conclusion", ""))
+        if hist:
+            a(f"r4 contact-model adjudication (historical): {hist}")
         a("")
 
     return "\n".join(lines) + "\n"

@@ -235,6 +235,28 @@ class SolverConfig:
     big_threshold: float = 1e9
     # Tikhonov jitter added to the KKT diagonal for float32 robustness
     kkt_reg: float = 1e-8
+    # --- active-set polish (closes the literal 1e-3 N qpOASES parity bar
+    # in float32; tests/test_pallas_riccati.py) ---
+    # The interior-point loop's d_cap/s_floor clamps stall its iterates
+    # REGARDLESS of precision (the same fixed-sigma schedule in float64
+    # stalls at the same iterate): typically a few mN from the exact
+    # optimum, up to ~0.1 N on near-degenerate standing scenarios whose
+    # Hessian has flat directions.  With polish_rounds > 0 the solver
+    # runs a primal-dual active-set refinement (PDAS set estimation +
+    # augmented-Lagrangian equality solves at penalty polish_rho, with
+    # best-of-rounds selection by a KKT merit and per-lane fallback to
+    # the IP iterate -- hector/qp/riccati.py polish block).  On the
+    # operating-envelope state distribution this lands within ~2e-4 N of
+    # qpOASES in pure float32 (tests/test_qpoases_parity.py); on
+    # uniformly-random EXTREME states ~5% of lanes reject the polish and
+    # fall back to the ~1e-2 IP iterate.  Cost ~rounds*iters extra
+    # Riccati solves.  0 = off (the production closed-loop default: the
+    # 14-iteration interior smoothing is part of the adjudicated walking
+    # behavior, PERF.md lateral-envelope section).
+    polish_rounds: int = 0
+    polish_iters: int = 4
+    polish_rho: float = 300.0
+    polish_tol: float = 1e-6
     # solver backend:
     #   'auto'             -> fused Riccati pallas kernel on TPU
     #                         (hector/qp/pallas_riccati.py), pure-JAX

@@ -156,7 +156,20 @@ def filtered(state: FilterState, pos_meas, vel_meas, quat_meas, gyro_meas,
 # Observability, documented: yaw (rotation about gravity) is unobservable
 # from the accelerometer, so the yaw channel is pure gyro integration --
 # it drifts with the (estimated-away roll/pitch components of the) gyro
-# bias and random-walks with gyro noise.  Tests pin the drift envelope.
+# bias and random-walks with gyro noise.  Tests pin the drift envelope at
+# both short horizon (test_estimation.py) and 30 s of closed-loop walking
+# (test_robustness.py::test_kf_walk_30s_yaw_drift_envelope: the drift
+# equals the unobservable z-bias integral, nothing more).
+#
+# Why stance-foot kinematic aiding canNOT anchor this channel (r4 review
+# question): the KF's foot states are themselves corrected each tick
+# toward R_bw (hip + p_leg) with the r_rel measurement noise, so after a
+# slow yaw drift they re-equilibrate to the DRIFTED attitude within the
+# r_rel time constant -- an inter-foot-vector yaw "measurement" would
+# compare the attitude with a filtered copy of itself.  Global yaw is
+# fundamentally unobservable from proprioception (gyro + accel + joint
+# encoders + contact); anchoring requires an exteroceptive heading
+# reference (magnetometer / vision), out of the reference's sensor set.
 
 
 class MahonyState(NamedTuple):

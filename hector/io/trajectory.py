@@ -33,7 +33,9 @@ class TrajectoryTable:
 
     @classmethod
     def from_csv(cls, path: str) -> "TrajectoryTable":
-        return cls(np.loadtxt(path, delimiter=","))
+        # ndmin=2: a single-row file (e.g. the reference's own
+        # example.csv placeholder) must stay a (1, 34) table
+        return cls(np.loadtxt(path, delimiter=",", ndmin=2))
 
     def row_at(self, t):
         """Row for elapsed time t (clamped; matches extractTrajectory's

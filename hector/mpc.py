@@ -191,6 +191,14 @@ def mpc_update(state: PlannerState, est, leg_q, p_foot_w, v_des_robot,
             sqp = build_stage_qp(x0, traj, r_body_world, r_foot, r_feet,
                                  i_body, gait_table, cfg.mpc)
             sol = riccati.solve(sqp, cfg.solver)
+    elif backend == 'qpoases':
+        # the reference's ACTUAL vendored qpOASES in the loop, via a host
+        # callback (ref_check.qpoases_callback_solver; adjudication arm
+        # of benchmarks/lateral_sweep.py -- CPU rollouts only)
+        from .qp import ref_check
+        qp = build_qp(x0, traj, r_body_world, r_foot, r_feet, i_body,
+                      gait_table, cfg.mpc)
+        sol = ref_check.qpoases_callback_solver(qp, gait_table)
     else:
         # legacy condensed-dense path (hector/qp/pdip.py)
         scfg = cfg.solver

@@ -78,7 +78,8 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
     (sublane, lane) batch tile.  Separated from the pallas plumbing so tests
     can execute the exact kernel computation under plain XLA.
     """
-    (iters, sigma, frac, big, init_slack, init_dual) = scfg_s
+    (iters, sigma, frac, big, init_slack, init_dual,
+     pol_rounds, pol_iters, pol_rho, pol_tol) = scfg_s
     f32 = jnp.float32
     # the objective carries the reference's factor 2 (H = 2(B'SB+alpha),
     # SolverMPC.cpp:569); fold it into the static weights once, exactly as
@@ -100,7 +101,9 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
     ub_c = ub * fu
 
     eps = jnp.finfo(f32).eps
-    mu_floor = 10.0 * eps
+    # with polish the IP runs to its clamp-limited stall point (the active
+    # set is identified there); the mu freeze would stop one decade early
+    mu_floor = 0.0 if pol_rounds > 0 else 10.0 * eps
     s_floor = 10.0 * eps
     d_cap = 0.1 / eps
     sl_cap = 1e8
@@ -460,6 +463,77 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
     # kernel compile budget for at best a few-percent loop-overhead win
     u, s_l, lam_l, s_u, lam_u = jax.lax.fori_loop(
         0, iters, body, (u, sl, ll, su, lu), unroll=False)
+    lam_row = lam_u - lam_l
+
+    if pol_rounds > 0:
+        # ---- primal-dual active-set polish (mirrors the
+        # riccati.solve_batched polish block; see its comments for the
+        # method and the KKT merit).  Rounds and inner AL iterations run
+        # in ONE rolled fori loop (one newton_dir body, compile-budget
+        # friendly); the PDAS set re-estimation and best-of-rounds merit
+        # tracking fire on inner-loop boundaries via a traced predicate.
+        # eq rows (lb == ub, the swing-leg zero rows) stay active always.
+        feq = fl * fu * (ub_c - lb_c < 1e-12).astype(f32)
+        nu0 = lam_u - lam_l
+        cu0p = apply_c(u)
+
+        def estimate(nu_e, cu_e, a_u_prev_unused=None):
+            t_u = nu_e + pol_rho * (cu_e - ub_c)
+            t_l = -nu_e + pol_rho * (lb_c - cu_e)
+            a_u = jnp.maximum(fu * (t_u > 0).astype(f32), feq)
+            a_l = jnp.maximum(
+                fl * (t_l > 0).astype(f32) * (1.0 - a_u), feq)
+            return a_l, a_u
+
+        a_l0, a_u0 = estimate(nu0, cu0p)
+        nu0 = jnp.maximum(a_l0, a_u0) * nu0
+        inf_sl = jnp.full(x0.shape[1:], jnp.inf, f32)
+
+        def pol_body(t, carry):
+            u_p, nu, a_l, a_u, u_b, nu_b, bad_b = carry
+            act = jnp.maximum(a_l, a_u)
+            # lower-active (and eq) rows target lb; upper-active rows ub
+            low = jnp.maximum(a_l * (1.0 - a_u), feq)
+            bnd = low * lb_c + (1.0 - low) * a_u * ub_c
+            xs_p = rollout(u_p)
+            q_lin_p = (xs_p - xd) * q2_vec[None]
+            cu_p = apply_c(u_p)
+            viol = act * (cu_p - bnd)
+            r_lin_p = r2_col[None] * u_p + apply_ct(nu + pol_rho * viol)
+            du_p = newton_dir(pol_rho * act, q_lin_p, r_lin_p)
+            fin = jnp.all(jnp.isfinite(du_p), axis=(0, 1))[None, None]
+            u_p = jnp.where(fin, u_p + du_p, u_p)
+            cu_p = apply_c(u_p)
+            nu = act * (nu + pol_rho * (cu_p - bnd))
+
+            round_end = jnp.equal(jax.lax.rem(t + 1, pol_iters), 0)
+            # merit = max(primal violation, wrong-sign multiplier / 10)
+            bad_p = jnp.max(jnp.maximum(fl * (lb_c - cu_p),
+                                        fu * (cu_p - ub_c)), axis=(0, 1))
+            wrong = jnp.max(jnp.maximum(
+                a_u * (1.0 - feq) * jnp.maximum(-nu, 0.0),
+                low * (1.0 - feq) * jnp.maximum(nu, 0.0)), axis=(0, 1))
+            bad_r = jnp.where(jnp.all(jnp.isfinite(u_p), axis=(0, 1)),
+                              jnp.maximum(bad_p, 0.1 * wrong), jnp.inf)
+            better = (round_end & (bad_r < bad_b))[None, None]
+            u_b = jnp.where(better, u_p, u_b)
+            nu_b = jnp.where(better, nu, nu_b)
+            bad_b = jnp.where(round_end, jnp.minimum(bad_r, bad_b), bad_b)
+            # PDAS set re-estimation between rounds
+            a_l_n, a_u_n = estimate(nu, cu_p)
+            a_l = jnp.where(round_end, a_l_n, a_l)
+            a_u = jnp.where(round_end, a_u_n, a_u)
+            return u_p, nu, a_l, a_u, u_b, nu_b, bad_b
+
+        _, _, _, _, u_b, nu_b, bad_b = jax.lax.fori_loop(
+            0, pol_rounds * pol_iters, pol_body,
+            (u, nu0, a_l0, a_u0, u, nu0, inf_sl), unroll=False)
+        # accept per lane only at small KKT merit (else keep the IP
+        # iterate -- the graceful-degradation fallback)
+        ok = ((bad_b <= 10.0 * pol_tol)
+              & jnp.all(jnp.isfinite(u_b), axis=(0, 1)))[None, None]
+        u = jnp.where(ok, u_b, u)
+        lam_row = jnp.where(ok, nu_b, lam_row)
 
     # ---- final residuals ----
     cu = apply_c(u)
@@ -468,7 +542,7 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
     # adjoint sweep for the dual residual
     nu_vec = q_lin[H - 1]
     r_d_max = jnp.zeros_like(x0[0])
-    ct_dl = apply_ct(lam_u - lam_l)
+    ct_dl = apply_ct(lam_row)
     for k in range(H - 1, -1, -1):
         r_d_k = (r2_col * u[k] + btmatvec(umask[k], nu_vec) + ct_dl[k])
         r_d_max = jnp.maximum(r_d_max, jnp.max(jnp.abs(r_d_k), axis=0))
@@ -508,7 +582,9 @@ def _solve_tiles(s69, scal, b69, cmat, umask, x0, xd, lb, ub,
     sl_shape = s69.shape[-2:]
     scfg_s = (scfg.iterations, float(scfg.sigma_fixed),
               float(scfg.frac_to_boundary), float(scfg.big_threshold),
-              float(scfg.init_slack), float(scfg.init_dual))
+              float(scfg.init_slack), float(scfg.init_dual),
+              int(scfg.polish_rounds), int(scfg.polish_iters),
+              float(scfg.polish_rho), float(scfg.polish_tol))
     kern = functools.partial(
         _kernel, q2=q2, r2=r2, reg=float(scfg.kkt_reg), scfg_s=scfg_s)
     spec = lambda *dims: pl.BlockSpec(

@@ -202,3 +202,47 @@ def solve_qpdata_qpoases(qp, gait, nwsr: int = 500) -> np.ndarray:
     x = np.zeros(n)
     x[keep_v] = x_red
     return x
+
+
+def qpoases_callback_solver(qp, gait_table):
+    """The reference's ACTUAL qpOASES as an in-graph closed-loop solver.
+
+    Wraps solve_qpdata_qpoases (vendored qpOASES, setToMPC options,
+    swing-variable elimination -- exactly SolverMPC.cpp:589-712) in a
+    jax.pure_callback so tier-2 rollouts can put the reference's exact
+    active-set solver in the loop (benchmarks/lateral_sweep.py 'qpoases'
+    arm; VERDICT r4 item 2 adjudication).  vmap_method='sequential': one
+    host solve per lane per MPC period, float64 inside.  A qpOASES
+    failure returns the zero solution for that period (the reference
+    prints "failed to solve!" and keeps its previous solution,
+    SolverMPC.cpp:713-715 -- a stateless callback cannot keep state, and
+    failures do not occur on these QPs in practice).
+    """
+    import jax
+    import jax.numpy as jnp
+    from .pdip import QPSolution
+    from .builder import QPData
+
+    h = qp.lb.shape[-2]
+    n = 12 * h
+
+    def host_fn(h_mat, g_vec, c_blk, lb, ub, gait):
+        try:
+            x = solve_qpdata_qpoases(
+                QPData(np.asarray(h_mat, np.float64),
+                       np.asarray(g_vec, np.float64),
+                       np.asarray(c_blk, np.float64),
+                       np.asarray(lb, np.float64),
+                       np.asarray(ub, np.float64)),
+                np.asarray(gait))
+        except RuntimeError:
+            x = np.zeros(n)
+        return x.astype(np.float32)
+
+    u = jax.pure_callback(
+        host_fn, jax.ShapeDtypeStruct((n,), np.float32),
+        qp.h_mat, qp.g_vec, qp.c_block, qp.lb, qp.ub, gait_table,
+        vmap_method='sequential')
+    dtype = qp.g_vec.dtype
+    zero = jnp.zeros((), dtype)
+    return QPSolution(u=u.astype(dtype), mu=zero, r_dual=zero, r_prim=zero)

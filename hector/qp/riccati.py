@@ -106,7 +106,13 @@ def solve_batched(sqp: StageQPData, scfg: SolverConfig = SolverConfig()
     b_sc = jnp.moveaxis(b_st, 1, 0)                       # (h, B, 13, 12)
 
     eps = jnp.finfo(dtype).eps
-    mu_floor = jnp.maximum(jnp.asarray(1e-14, dtype), 10.0 * eps)
+    # with polish the IP must run to its clamp-limited stall point (the
+    # polish identifies the active set there); the float32 mu freeze at
+    # 10*eps ~ 1.2e-6 would stop it a decade early and corrupt the
+    # identification.  1e-9 is deep enough for identification while still
+    # keeping the complementarity products representable.
+    mu_floor = (jnp.asarray(1e-9, dtype) if scfg.polish_rounds > 0
+                else jnp.maximum(jnp.asarray(1e-14, dtype), 10.0 * eps))
     s_floor = 10.0 * eps
     d_cap = 0.1 / eps
     sl_cap = jnp.asarray(1e8, dtype)
@@ -306,6 +312,80 @@ def solve_batched(sqp: StageQPData, scfg: SolverConfig = SolverConfig()
     carry = jax.lax.fori_loop(
         0, scfg.iterations, body, (u0, sl0, ll0, su0, lu0), unroll=False)
     u, s_l, lam_l, s_u, lam_u = carry
+    lam_eff = lam_u - lam_l
+
+    if scfg.polish_rounds > 0:
+        # Active-set polish: the IP's d_cap/s_floor clamps stall its
+        # iterates ~3-8 mN from the exact optimum independent of precision
+        # (the clamp bounds the penalty weight enforcing active rows).
+        # Refine with a primal-dual active-set method (PDAS / semismooth
+        # Newton, Hintermueller et al.): each round estimates the active
+        # set from the sign structure  nu + rho (Cu - b) , solves the
+        # equality-constrained subproblem by an augmented Lagrangian
+        # (polish_iters exact Newton solves at penalty rho -- the
+        # multiplier updates make the active-row violation contract
+        # without needing a large, f32-hostile rho), and re-estimates.
+        # Both adds AND drops happen naturally through the sign test.
+        rho = jnp.asarray(scfg.polish_rho, dtype)
+        eq = mask_l & mask_u & (ub_c - lb_c < 1e-12)
+        u_p = u
+        nu = lam_u - lam_l
+        cu_p = apply_c(u_p)
+        act_u = (mask_u & (nu + rho * (cu_p - ub_c) > 0)) | eq
+        act_l = (mask_l & (-nu + rho * (lb_c - cu_p) > 0) & ~act_u) | eq
+
+        def viol_of(cu_v):
+            return jnp.maximum(
+                jnp.where(mask_l, lb_c - cu_v, 0.0),
+                jnp.where(mask_u, cu_v - ub_c, 0.0)).max(axis=(1, 2))
+
+        # Best-of-rounds by a KKT merit: PDAS can 2-cycle between the
+        # correct set and a wrong one on degenerate lanes (observed on
+        # ~5% of randomized standing scenarios).  The correct-set round
+        # is feasible to ~1e-6 with correctly-signed multipliers; wrong
+        # sets either violate constraints O(0.1) or carry wrong-sign
+        # multipliers >~1e-3 (a feasible point of an over-constrained
+        # set).  merit = max(primal violation, wrong-sign/10); a lane is
+        # accepted only at merit <= 10*polish_tol, else it falls back to
+        # the IP iterate.
+        big0 = jnp.full(u.shape[:1], jnp.inf, dtype)
+        u_best, nu_best, bad_best = u_p, nu, big0
+        for _ in range(scfg.polish_rounds):
+            act = act_l | act_u
+            bnd = jnp.where(act_l & ~act_u, lb_c,
+                            jnp.where(act_u, ub_c, 0.0))
+            nu = jnp.where(act, nu, 0.0)
+            fac_p = factor(rho * act.astype(dtype))
+            for _ in range(scfg.polish_iters):
+                xs_p = rollout(u_p)
+                q_lin_p = q2[:, None, :] * (xs_p - xd)
+                viol = jnp.where(act, apply_c(u_p) - bnd, 0.0)
+                r_lin_p = (r2[:, None, :] * u_p
+                           + apply_ct(nu + rho * viol))
+                du_p = lqr_solve(fac_p, q_lin_p, r_lin_p)
+                fin = jnp.all(jnp.isfinite(du_p), axis=(1, 2))[:, None, None]
+                u_p = jnp.where(fin, u_p + du_p, u_p)
+                nu = jnp.where(act, nu + rho * (apply_c(u_p) - bnd), 0.0)
+            cu_p = apply_c(u_p)
+            wrong = jnp.maximum(
+                jnp.where(act_u & ~eq, jnp.maximum(-nu, 0.0), 0.0),
+                jnp.where(act_l & ~act_u & ~eq, jnp.maximum(nu, 0.0), 0.0)
+            ).max(axis=(1, 2))
+            bad_r = jnp.where(
+                jnp.all(jnp.isfinite(u_p), axis=(1, 2)),
+                jnp.maximum(viol_of(cu_p), 0.1 * wrong), jnp.inf)
+            better = (bad_r < bad_best)[:, None, None]
+            u_best = jnp.where(better, u_p, u_best)
+            nu_best = jnp.where(better, nu, nu_best)
+            bad_best = jnp.minimum(bad_r, bad_best)
+            act_u = (mask_u & (nu + rho * (cu_p - ub_c) > 0)) | eq
+            act_l = (mask_l & (-nu + rho * (lb_c - cu_p) > 0) & ~act_u) | eq
+        # guard: accept the best polished lane only if finite and it does
+        # not violate any constraint (else keep the IP iterate)
+        ok = ((bad_best <= 10.0 * scfg.polish_tol)
+              & jnp.all(jnp.isfinite(u_best), axis=(1, 2)))[:, None, None]
+        u = jnp.where(ok, u_best, u)
+        lam_eff = jnp.where(ok, nu_best, lam_eff)
 
     # --- final residuals: dual residual via the adjoint sweep ---
     cu = apply_c(u)
@@ -321,7 +401,7 @@ def solve_batched(sqp: StageQPData, scfg: SolverConfig = SolverConfig()
     nus = jnp.flip(nus, 0)                                # nu_{k+1} per stage
     bt_nu = _mm('hbji,hbj->hbi', b_sc, nus)
     r_d = (r2[:, None, :] * u + jnp.moveaxis(bt_nu, 0, 1)
-           + apply_ct(lam_u - lam_l))
+           + apply_ct(lam_eff))
     r_pl = jnp.where(mask_l, jnp.maximum(lb_c - cu, 0.0), 0.0)
     r_pu = jnp.where(mask_u, jnp.maximum(cu - ub_c, 0.0), 0.0)
     mu = (jnp.sum(s_l * lam_l * mask_l, axis=(1, 2))

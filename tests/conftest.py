@@ -30,3 +30,14 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..",
                                ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+import pytest
+
+
+def pytest_collection_modifyitems(items):
+    """Auto-mark anything not slow/tier2 as fast, so ``-m fast`` selects
+    the quick core subset literally (pytest.ini documents the tiers)."""
+    for item in items:
+        if not any(m in item.keywords for m in ("slow", "tier2")):
+            item.add_marker(pytest.mark.fast)

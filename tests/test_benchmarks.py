@@ -9,6 +9,9 @@ DCE'd-measurement bugs fail in CI, not on the chip.
 import json
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_config1_standing_short():

@@ -15,6 +15,8 @@ from hector import runtime as RT
 from hector.plant import srb
 from hector.config import DEFAULT_CONFIG as CFG
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def rollout200():

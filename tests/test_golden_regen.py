@@ -16,6 +16,9 @@ import os
 import zipfile
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 

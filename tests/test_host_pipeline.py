@@ -4,6 +4,9 @@ import numpy as np
 import jax
 
 from hector.io import host_pipeline as HP
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_native_generator_determinism_and_envelope():

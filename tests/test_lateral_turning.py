@@ -21,6 +21,8 @@ from hector import runtime as RT
 from hector.plant import srb
 from hector.config import DEFAULT_CONFIG as CFG
 
+pytestmark = pytest.mark.slow
+
 N = 500          # 2.5 s
 DT = 0.005       # one MPC period
 

@@ -32,6 +32,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from hector import parallel as PL
 
+pytestmark = pytest.mark.slow
+
 pid = int(sys.argv[1])
 mesh = PL.multihost(coordinator=f"127.0.0.1:{sys.argv[2]}",
                     num_processes=2, process_id=pid)

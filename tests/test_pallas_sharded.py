@@ -10,6 +10,7 @@ persistent compilation cache makes subsequent runs cheap.
 """
 
 import dataclasses
+import pytest
 
 import numpy as np
 import jax
@@ -18,6 +19,8 @@ import jax.numpy as jnp
 from hector import parallel as PL
 from hector import runtime as RT
 from hector.config import DEFAULT_CONFIG
+
+pytestmark = pytest.mark.slow
 
 
 def _plan(backend):

@@ -26,9 +26,9 @@ from hector.qp.builder import build_qp, build_stage_qp
 from hector.qp import pdip, riccati, ref_check
 import hector.gait as G
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not ref_check.qpoases_available(),
-    reason="reference qpOASES checkout not available")
+    reason="reference qpOASES checkout not available")]
 
 GOLD = np.load(__file__.rsplit('/', 1)[0] + '/golden/solver.npz')
 CFG = MPCConfig()
@@ -114,3 +114,54 @@ def test_solvers_vs_qpoases_fresh_scenarios():
             riccati.solve(build_stage_qp(*args), scfg).u) - x_ref).max()
         assert err_d < 1e-3, f'trial {trial}: pdip {err_d}'
         assert err_r < 1e-3, f'trial {trial}: riccati {err_r}'
+
+
+def _operating_scenario(trial):
+    """Operating-envelope scenario: the state distribution closed-loop
+    walking/standing visits (teleop-envelope velocities, moderate
+    attitude, feet under the hips).  Every 4th trial is standing gait."""
+    rng = np.random.default_rng(4242 + trial)
+    rpy = rng.uniform(-0.1, 0.1, 3)
+    x0 = jnp.asarray(np.concatenate([
+        rpy, rng.uniform(-0.1, 0.1, 2).tolist() + [rng.uniform(0.5, 0.58)],
+        rng.uniform(-0.3, 0.3, 3), rng.uniform(-0.3, 0.3, 3), [9.81]]))
+    vx = rng.uniform(-0.75, 0.75)
+    vy = rng.uniform(-0.25, 0.25)
+    traj = jnp.tile(jnp.asarray([0, 0, 0, 0, 0, 0.55, 0, 0, 0,
+                                 vx, vy, 0.0]), (10, 1))
+    q_eff = jnp.asarray(rng.uniform(-0.3, 0.3, (2, 5)) + 3 * OFFS)
+    r_foot = K.foot_rotation(q_eff)
+    r_feet = jnp.asarray(rng.uniform(-0.12, 0.12, (2, 3))).at[:, 2].set(
+        rng.uniform(-0.58, -0.48))
+    if trial % 4 == 0:
+        gait = jnp.ones((10, 2), jnp.float64)
+    else:
+        gait = G.mpc_gait_table(jnp.asarray(trial % 10),
+                                jnp.asarray([0., 5.]),
+                                jnp.asarray([5., 5.]), 10).astype(x0.dtype)
+    return (x0, traj, HM.quat_to_rot(HM.rpy_to_quat(jnp.asarray(rpy))),
+            r_foot, r_feet, I_BODY, gait, MPCConfig()), gait
+
+
+def test_f32_riccati_polish_vs_qpoases_battery():
+    """The 1e-3 N qpOASES bar in PURE FLOAT32 on the production (stage
+    Riccati) formulation with the active-set polish: a 24-scenario
+    operating-envelope battery incl. standing gaits.  Typical max error
+    ~1e-4 N (config.py SolverConfig polish block documents the method
+    and the extreme-state fallback caveat)."""
+    scfg = SolverConfig(iterations=14, mehrotra=False, sigma_fixed=0.1,
+                        polish_rounds=8)
+    f32 = jnp.float32
+    sqps, refs = [], []
+    for t in range(24):
+        args, gait = _operating_scenario(t)
+        refs.append(ref_check.solve_qpdata_qpoases(build_qp(*args),
+                                                   np.asarray(gait)))
+        a32 = tuple(jax.tree.map(
+            lambda x: jnp.asarray(x, f32) if hasattr(x, 'dtype') else x, a)
+            for a in args[:-1]) + (MPCConfig(),)
+        sqps.append(build_stage_qp(*a32))
+    sqp = jax.tree.map(lambda *xs: jnp.stack(xs), *sqps)
+    sol = riccati.solve_batched(sqp, scfg)
+    errs = np.abs(np.asarray(sol.u, np.float64) - np.stack(refs)).max(1)
+    assert errs.max() < 1e-3, f'max {errs.max()}, worst {errs.argmax()}'

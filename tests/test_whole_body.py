@@ -16,6 +16,8 @@ from hector.control import MotorCommand
 from hector.config import DEFAULT_CONFIG as CFG
 from hector import runtime as RT
 
+pytestmark = pytest.mark.tier2
+
 
 def _zero_cmd():
     z = jnp.zeros((2, 5))
