@@ -44,13 +44,16 @@ def op_mix(iterations: int = 14, h: int = 10, nu: int = 12, nc: int = 16,
 
     - slow path (divide / rsqrt, ~1 op per VPU issue at div throughput):
       Cholesky: nu rsqrt + nu*(nu-1)/2 col divides per stage; barrier
-      weights: 2*nc divides per stage; step sizes: 2*2*nc ratio divides
-      per stage; line-search + updates ~nc more.
+      reciprocals: 12 lower + 8 upper per stage (the one-sided row
+      specialization -- only rows whose bound side can be finite carry
+      slack state); dual step ratios: 12 + 8 per stage (the primal step
+      reuses the barrier reciprocals: ~2 divides per TILE per iteration,
+      negligible per scenario).
     - FMA path: everything counted by riccati_kernel_cost.
     """
     chol_div = nu + nu * (nu - 1) // 2          # 12 rsqrt + 66 div
-    barrier_div = 2 * nc                        # d = z/s per bound side
-    step_div = 4 * nc + nc
+    barrier_div = 12 + 8                        # inv_s per one-sided row
+    step_div = 12 + 8                           # dual ratio divides
     slow_per_stage = chol_div + barrier_div + step_div
     slow_ops = float(iterations * h * slow_per_stage)
     from hector.io.profiling import riccati_kernel_cost

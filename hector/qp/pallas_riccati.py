@@ -91,14 +91,52 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
     a1112 = scal[1]           # (S, L)         Acd[11,12] = -dt
     em = scal[2]              # (S, L)         dt/m (= Bcd[9,0])
 
+    # Full-row masks (used by the polish and final-residual sections)
     mask_l = lb > -big
     mask_u = ub < big
     fl = mask_l.astype(f32)
     fu = mask_u.astype(f32)
-    n_act = jnp.maximum(jnp.sum(fl, axis=(0, 1)) + jnp.sum(fu, axis=(0, 1)),
-                        1.0)
     lb_c = lb * fl
     ub_c = ub * fu
+
+    # One-sided row specialization for the IP loop (r4 harvest item): the
+    # bound STRUCTURE is static (constraints.py) -- a lower bound can only
+    # ever be finite on the friction/Mx/Fz rows {0..4, 7} of each leg, an
+    # upper bound only on the Mx/line-contact/Fz rows {4..7}; the other
+    # side is BIG/deactivated always (incl. swing and padded lanes).  The
+    # barrier state therefore lives on 12 lower + 8 upper rows instead of
+    # 2 x 16, cutting the per-iteration slack/dual/step bookkeeping by
+    # ~40% with bit-identical math (dead rows contributed exactly zero).
+    LR = (0, 1, 2, 3, 4, 7, 8, 9, 10, 11, 12, 15)
+    UR = (4, 5, 6, 7, 12, 13, 14, 15)
+    NL_, NU_ = len(LR), len(UR)
+    _li = {r: i for i, r in enumerate(LR)}
+    _ui = {r: i for i, r in enumerate(UR)}
+
+    def take_rows(x, rs):
+        """(H, NC, S, L) -> (H, len(rs), S, L), static row slices."""
+        return jnp.stack([x[:, r] for r in rs], axis=1)
+
+    def full_rows(x_l, x_u):
+        """Scatter side arrays back to the full (H, NC, S, L) layout."""
+        out = []
+        for r in range(NC):
+            if r in _li and r in _ui:
+                out.append(x_l[:, _li[r]] + x_u[:, _ui[r]])
+            elif r in _li:
+                out.append(x_l[:, _li[r]])
+            else:
+                out.append(x_u[:, _ui[r]])
+        return jnp.stack(out, axis=1)
+
+    mask_lr = take_rows(mask_l, LR)
+    mask_ur = take_rows(mask_u, UR)
+    flr = mask_lr.astype(f32)
+    fur = mask_ur.astype(f32)
+    lb_r = take_rows(lb_c, LR)
+    ub_r = take_rows(ub_c, UR)
+    n_act = jnp.maximum(
+        jnp.sum(flr, axis=(0, 1)) + jnp.sum(fur, axis=(0, 1)), 1.0)
 
     eps = jnp.finfo(f32).eps
     # with polish the IP runs to its clamp-limited stall point (the active
@@ -208,16 +246,22 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
 
         for k in range(H - 1, -1, -1):
             mk = umask[k]
+            # masked B columns, hoisted (recomputing b69[r][j]*mk[j] inside
+            # the Re row loop costs NU x the slabs it needs)
+            bm = [[b69[r][j] * mk[j] for j in range(NU)] for r in range(3)]
+            em_m = [em * mk[a] for a in range(6)]
             # rq = C^T D C + diag(r2 + reg), exploiting the 2-leg column
-            # blocks (leg rows touch only that leg's F and M columns)
+            # blocks (leg rows touch only that leg's F and M columns) AND
+            # symmetry: only the lower triangle is ever read (Cholesky),
+            # so only ci >= cj pairs are formed (r4 harvest item)
             dk = d_row[k]
             rq = [[None] * NU for _ in range(NU)]
             for leg in range(2):
                 rows = range(8 * leg, 8 * leg + 8)
                 cols = ([0, 1, 2, 6, 7, 8] if leg == 0
                         else [3, 4, 5, 9, 10, 11])
-                for ci in cols:
-                    for cj in cols:
+                for a_i, ci in enumerate(cols):
+                    for cj in cols[:a_i + 1]:
                         acc = None
                         for r in rows:
                             t = (dk[r] * cm_rows[r][ci]) * cm_rows[r][cj]
@@ -225,7 +269,7 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
                         rq[ci][cj] = acc
             zero = jnp.zeros_like(x0[0])
             for i in range(NU):
-                for j in range(NU):
+                for j in range(i + 1):
                     if rq[i][j] is None:
                         rq[i][j] = zero
                 rq[i][i] = rq[i][i] + (r2[i] + reg)
@@ -239,18 +283,19 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
                     acc = acc + em[None] * p_mat[9 + (i % 3)]
                 bp.append(acc * mk[i][None])
 
-            # Re = rq + bp (Bcd diag(mk))  (build as NU rows of (NU,S,L))
+            # Re = rq + bp (Bcd diag(mk)): lower triangle only (the
+            # Cholesky below reads re_rows[i][j] for j <= i exclusively)
             re_rows = []
             for i in range(NU):
-                row = [rq[i][j] for j in range(NU)]
+                row = [rq[i][j] for j in range(i + 1)] + [None] * (NU - i - 1)
                 for r in range(3):
-                    # += bp[i][6+r] * b69[r, :] (col-masked below via bp mask
-                    # symmetry: Re = M B_m with B_m = B diag(mk))
-                    for j in range(NU):
-                        row[j] = row[j] + bp[i][6 + r] * (b69[r][j] * mk[j])
+                    for j in range(i + 1):
+                        row[j] = row[j] + bp[i][6 + r] * bm[r][j]
                 for a in range(3):
-                    row[a] = row[a] + bp[i][9 + a] * (em * mk[a])
-                    row[3 + a] = row[3 + a] + bp[i][9 + a] * (em * mk[3 + a])
+                    if a <= i:
+                        row[a] = row[a] + bp[i][9 + a] * em_m[a]
+                    if 3 + a <= i:
+                        row[3 + a] = row[3 + a] + bp[i][9 + a] * em_m[3 + a]
                 re_rows.append(row)
 
             # Cholesky of Re (NU x NU of slabs), lower L + reciprocal diag
@@ -321,13 +366,24 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
             if k >= 1:
                 p_vec = p_vec + q_lin[k - 1]
 
-            # P_new = diag(q2) + A^T P A - W^T W
+            # P_new = diag(q2) + A^T P A - W^T W.  W^T W is symmetric: only
+            # its lower triangle is formed (91 of 169 slab products), the
+            # upper mirrored by ALIASING the same slabs into the stacked
+            # layout (r4 harvest item; saves ~45% of the P-update FMAs)
             m_pa = amat_cols(p_mat)
             m_apa = atmat_rows(m_pa)
-            ww = None
+            ww_tri = [[None] * (a + 1) for a in range(NX)]
             for i in range(NU):
-                t = w[i][:, None] * w[i][None, :]
-                ww = t if ww is None else ww + t
+                wi = w[i]
+                for a in range(NX):
+                    wa = wi[a]
+                    for b in range(a + 1):
+                        t = wa * wi[b]
+                        ww_tri[a][b] = (t if ww_tri[a][b] is None
+                                        else ww_tri[a][b] + t)
+            ww = jnp.stack(
+                [jnp.stack([ww_tri[a][b] if b <= a else ww_tri[b][a]
+                            for b in range(NX)]) for a in range(NX)])
             # + diag(q2) without scatter (Mosaic has no scatter-add)
             p_mat = m_apa - ww + q2_diag_mat
 
@@ -384,16 +440,18 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
     q_lin0 = (xs0 - xd) * q2_vec[None]
     u_unc = newton_dir(zero_d, q_lin0, zero_u[:, :NU])
     cu0 = apply_c(u_unc)
-    sh_l = jnp.where(mask_l, cu0 - lb_c, 1.0)
-    sh_u = jnp.where(mask_u, ub_c - cu0, 1.0)
+    cu0_l = take_rows(cu0, LR)
+    cu0_u = take_rows(cu0, UR)
+    sh_l = jnp.where(mask_lr, cu0_l - lb_r, 1.0)
+    sh_u = jnp.where(mask_ur, ub_r - cu0_u, 1.0)
     s_min = jnp.minimum(
-        jnp.min(jnp.where(mask_l, sh_l, jnp.inf), axis=(0, 1)),
-        jnp.min(jnp.where(mask_u, sh_u, jnp.inf), axis=(0, 1)))
+        jnp.min(jnp.where(mask_lr, sh_l, jnp.inf), axis=(0, 1)),
+        jnp.min(jnp.where(mask_ur, sh_u, jnp.inf), axis=(0, 1)))
     shift = (init_slack + jnp.maximum(0.0, -1.5 * s_min))[None, None]
-    sl = jnp.where(mask_l, sh_l + shift, 1.0)
-    su = jnp.where(mask_u, sh_u + shift, 1.0)
-    ll = jnp.where(mask_l, init_dual / sl, 0.0)
-    lu = jnp.where(mask_u, init_dual / su, 0.0)
+    sl = jnp.where(mask_lr, sh_l + shift, 1.0)
+    su = jnp.where(mask_ur, sh_u + shift, 1.0)
+    ll = jnp.where(mask_lr, init_dual / sl, 0.0)
+    lu = jnp.where(mask_ur, init_dual / su, 0.0)
     u = zero_u
     # loop-invariant: R diagonal as a column stack (hoisted -- rebuilt
     # per iteration it materializes NU constant slabs every pass)
@@ -402,59 +460,74 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
     def body(_, carry):
         u, s_l, lam_l, s_u, lam_u = carry
         cu = apply_c(u)
+        cu_l = take_rows(cu, LR)
+        cu_u = take_rows(cu, UR)
         xs = rollout(u)
         q_lin = (xs - xd) * q2_vec[None]
-        r_pl = jnp.where(mask_l, cu - lb_c - s_l, 0.0)
-        r_pu = jnp.where(mask_u, ub_c - cu - s_u, 0.0)
+        r_pl = jnp.where(mask_lr, cu_l - lb_r - s_l, 0.0)
+        r_pu = jnp.where(mask_ur, ub_r - cu_u - s_u, 0.0)
         # one reciprocal per bound side; everything downstream multiplies
         # (divides run on the VPU slow path at ~1/15 FMA throughput --
         # perf/parts/cycle_accounting.json)
         inv_sl = 1.0 / jnp.maximum(s_l, s_floor)
         inv_su = 1.0 / jnp.maximum(s_u, s_floor)
-        d_l = jnp.where(mask_l, jnp.minimum(lam_l * inv_sl, d_cap), 0.0)
-        d_u = jnp.where(mask_u, jnp.minimum(lam_u * inv_su, d_cap), 0.0)
-        mu = (jnp.sum(s_l * lam_l * fl, axis=(0, 1))
-              + jnp.sum(s_u * lam_u * fu, axis=(0, 1))) / n_act
+        d_l = jnp.where(mask_lr, jnp.minimum(lam_l * inv_sl, d_cap), 0.0)
+        d_u = jnp.where(mask_ur, jnp.minimum(lam_u * inv_su, d_cap), 0.0)
+        mu = (jnp.sum(s_l * lam_l * flr, axis=(0, 1))
+              + jnp.sum(s_u * lam_u * fur, axis=(0, 1))) / n_act
 
         smu = (sigma * mu)[None, None]
-        tau_l = jnp.where(mask_l, smu, 0.0)
-        tau_u = jnp.where(mask_u, smu, 0.0)
-        tls = jnp.where(mask_l, tau_l * inv_sl, 0.0)
-        tus = jnp.where(mask_u, tau_u * inv_su, 0.0)
+        tls = jnp.where(mask_lr, smu * inv_sl, 0.0)
+        tus = jnp.where(mask_ur, smu * inv_su, 0.0)
 
-        v = tus - tls - (lam_u - lam_l) - d_u * r_pu + d_l * r_pl
-        r_lin = r2_col[None] * u + apply_ct((lam_u - lam_l) + v)
+        # C^T arg = (lam_u - lam_l) + v with
+        # v = tus - tls - (lam_u - lam_l) - d_u r_pu + d_l r_pl,
+        # i.e. the (lam_u - lam_l) terms cancel exactly:
+        arg_l = d_l * r_pl - tls
+        arg_u = tus - d_u * r_pu
+        r_lin = r2_col[None] * u + apply_ct(full_rows(arg_l, arg_u))
 
-        du = newton_dir(d_l + d_u, q_lin, r_lin)
+        du = newton_dir(full_rows(d_l, d_u), q_lin, r_lin)
         cdu = apply_c(du)
-        ds_l = jnp.where(mask_l, cdu + r_pl, 0.0)
-        ds_u = jnp.where(mask_u, -cdu + r_pu, 0.0)
-        dl_l = jnp.where(mask_l,
-                         tls - lam_l - d_l * (cdu + r_pl), 0.0)
-        dl_u = jnp.where(mask_u,
-                         tus - lam_u - d_u * (-cdu + r_pu), 0.0)
+        cdu_l = take_rows(cdu, LR)
+        cdu_u = take_rows(cdu, UR)
+        ds_l = jnp.where(mask_lr, cdu_l + r_pl, 0.0)
+        ds_u = jnp.where(mask_ur, -cdu_u + r_pu, 0.0)
+        dl_l = jnp.where(mask_lr,
+                         tls - lam_l - d_l * (cdu_l + r_pl), 0.0)
+        dl_u = jnp.where(mask_ur,
+                         tus - lam_u - d_u * (-cdu_u + r_pu), 0.0)
 
-        a_p = jnp.minimum(alpha_max(s_l, ds_l, fl, frac),
-                          alpha_max(s_u, ds_u, fu, frac))[None, None]
-        a_d = jnp.minimum(alpha_max(lam_l, dl_l, fl, frac),
-                          alpha_max(lam_u, dl_u, fu, frac))[None, None]
+        # primal steps via the ALREADY-COMPUTED slack reciprocals: alpha =
+        # min(1, frac min_i s_i/(-ds_i)) = min(1, frac / max_i (-ds_i)/s_i)
+        # -- one divide per side instead of one per row (the dual side has
+        # no precomputed reciprocal, so it keeps the ratio form)
+        rate_p = jnp.maximum(
+            jnp.max(jnp.where(mask_lr & (ds_l < 0), -ds_l * inv_sl, 0.0),
+                    axis=(0, 1)),
+            jnp.max(jnp.where(mask_ur & (ds_u < 0), -ds_u * inv_su, 0.0),
+                    axis=(0, 1)))
+        a_p = (frac / jnp.maximum(rate_p, frac))[None, None]
+        a_d = jnp.minimum(alpha_max(lam_l, dl_l, flr, frac),
+                          alpha_max(lam_u, dl_u, fur, frac))[None, None]
 
         finite = (jnp.all(jnp.isfinite(du), axis=(0, 1))
-                  & jnp.all(jnp.isfinite(ds_l) & jnp.isfinite(dl_l)
-                            & jnp.isfinite(ds_u) & jnp.isfinite(dl_u),
+                  & jnp.all(jnp.isfinite(ds_l) & jnp.isfinite(dl_l),
+                            axis=(0, 1))
+                  & jnp.all(jnp.isfinite(ds_u) & jnp.isfinite(dl_u),
                             axis=(0, 1)))[None, None]
         a_p = jnp.where(finite, a_p, 0.0)
         a_d = jnp.where(finite, a_d, 0.0)
 
         skip = (mu < mu_floor)[None, None] | ~finite
         u_n = jnp.where(skip, u, u + a_p * du)
-        s_l_n = jnp.where(skip | ~mask_l, s_l,
+        s_l_n = jnp.where(skip | ~mask_lr, s_l,
                           jnp.clip(s_l + a_p * ds_l, 0.0, sl_cap))
-        s_u_n = jnp.where(skip | ~mask_u, s_u,
+        s_u_n = jnp.where(skip | ~mask_ur, s_u,
                           jnp.clip(s_u + a_p * ds_u, 0.0, sl_cap))
-        lam_l_n = jnp.where(skip | ~mask_l, lam_l,
+        lam_l_n = jnp.where(skip | ~mask_lr, lam_l,
                             jnp.clip(lam_l + a_d * dl_l, 0.0, sl_cap))
-        lam_u_n = jnp.where(skip | ~mask_u, lam_u,
+        lam_u_n = jnp.where(skip | ~mask_ur, lam_u,
                             jnp.clip(lam_u + a_d * dl_u, 0.0, sl_cap))
         return (u_n, s_l_n, lam_l_n, s_u_n, lam_u_n)
 
@@ -463,7 +536,8 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
     # kernel compile budget for at best a few-percent loop-overhead win
     u, s_l, lam_l, s_u, lam_u = jax.lax.fori_loop(
         0, iters, body, (u, sl, ll, su, lu), unroll=False)
-    lam_row = lam_u - lam_l
+    # side -> full-row signed multipliers for the residual/polish sections
+    lam_row = full_rows(-lam_l, lam_u)
 
     if pol_rounds > 0:
         # ---- primal-dual active-set polish (mirrors the
@@ -474,7 +548,7 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
         # tracking fire on inner-loop boundaries via a traced predicate.
         # eq rows (lb == ub, the swing-leg zero rows) stay active always.
         feq = fl * fu * (ub_c - lb_c < 1e-12).astype(f32)
-        nu0 = lam_u - lam_l
+        nu0 = lam_row
         cu0p = apply_c(u)
 
         def estimate(nu_e, cu_e, a_u_prev_unused=None):
@@ -550,8 +624,8 @@ def _solve_tile(s69, scal, b69, cm, umask, x0, xd, lb, ub,
             nu_vec = atmatvec(nu_vec) + q_lin[k - 1]
     r_pl = jnp.where(mask_l, jnp.maximum(lb_c - cu, 0.0), 0.0)
     r_pu = jnp.where(mask_u, jnp.maximum(cu - ub_c, 0.0), 0.0)
-    mu = (jnp.sum(s_l * lam_l * fl, axis=(0, 1))
-          + jnp.sum(s_u * lam_u * fu, axis=(0, 1))) / n_act
+    mu = (jnp.sum(s_l * lam_l * flr, axis=(0, 1))
+          + jnp.sum(s_u * lam_u * fur, axis=(0, 1))) / n_act
     r_prim = jnp.maximum(jnp.max(r_pl, axis=(0, 1)),
                          jnp.max(r_pu, axis=(0, 1)))
     return u, jnp.stack([mu, r_d_max, r_prim])

@@ -234,18 +234,20 @@ def solve_batched(sqp: StageQPData, scfg: SolverConfig = SolverConfig()
         q_lin = q2[:, None, :] * (xs - xd)                # (B,h,13)
         r_pl = jnp.where(mask_l, cu - lb_c - s_l, 0.0)
         r_pu = jnp.where(mask_u, ub_c - cu - s_u, 0.0)
-        sl_safe = jnp.maximum(s_l, s_floor)
-        su_safe = jnp.maximum(s_u, s_floor)
-        d_l = jnp.where(mask_l, jnp.minimum(lam_l / sl_safe, d_cap), 0.0)
-        d_u = jnp.where(mask_u, jnp.minimum(lam_u / su_safe, d_cap), 0.0)
+        # one reciprocal per bound side (matches the fused kernel exactly:
+        # everything downstream multiplies, incl. the primal step sizes)
+        inv_sl = 1.0 / jnp.maximum(s_l, s_floor)
+        inv_su = 1.0 / jnp.maximum(s_u, s_floor)
+        d_l = jnp.where(mask_l, jnp.minimum(lam_l * inv_sl, d_cap), 0.0)
+        d_u = jnp.where(mask_u, jnp.minimum(lam_u * inv_su, d_cap), 0.0)
         mu = (jnp.sum(s_l * lam_l * mask_l, axis=(1, 2))
               + jnp.sum(s_u * lam_u * mask_u, axis=(1, 2))) / n_act
 
         fac = factor(d_l + d_u)
 
         def newton(tau_l, tau_u):
-            v = (jnp.where(mask_u, tau_u / su_safe, 0.0)
-                 - jnp.where(mask_l, tau_l / sl_safe, 0.0)
+            v = (jnp.where(mask_u, tau_u * inv_su, 0.0)
+                 - jnp.where(mask_l, tau_l * inv_sl, 0.0)
                  - (lam_u - lam_l) - d_u * r_pu + d_l * r_pl)
             r_lin = r2[:, None, :] * u + apply_ct((lam_u - lam_l) + v)
             du = lqr_solve(fac, q_lin, r_lin)
@@ -253,9 +255,9 @@ def solve_batched(sqp: StageQPData, scfg: SolverConfig = SolverConfig()
             ds_l = jnp.where(mask_l, cdu + r_pl, 0.0)
             ds_u = jnp.where(mask_u, -cdu + r_pu, 0.0)
             dl_l = jnp.where(
-                mask_l, tau_l / sl_safe - lam_l - d_l * (cdu + r_pl), 0.0)
+                mask_l, tau_l * inv_sl - lam_l - d_l * (cdu + r_pl), 0.0)
             dl_u = jnp.where(
-                mask_u, tau_u / su_safe - lam_u - d_u * (-cdu + r_pu), 0.0)
+                mask_u, tau_u * inv_su - lam_u - d_u * (-cdu + r_pu), 0.0)
             return du, ds_l, dl_l, ds_u, dl_u
 
         zero_tau = jnp.zeros_like(s_l)
@@ -285,8 +287,15 @@ def solve_batched(sqp: StageQPData, scfg: SolverConfig = SolverConfig()
         du, ds_l, dl_l, ds_u, dl_u = newton(tau_l, tau_u)
 
         frac = jnp.asarray(scfg.frac_to_boundary, dtype)
-        a_p = jnp.minimum(alpha_max(s_l, ds_l, mask_l, frac),
-                          alpha_max(s_u, ds_u, mask_u, frac))[:, None, None]
+        # primal steps via the already-computed slack reciprocals (matches
+        # the fused kernel bit-for-bit): alpha = min(1, frac min s/(-ds))
+        # = frac / max(max_i (-ds_i)/s_i, frac)
+        rate_p = jnp.maximum(
+            jnp.max(jnp.where(mask_l & (ds_l < 0), -ds_l * inv_sl, 0.0),
+                    axis=(1, 2)),
+            jnp.max(jnp.where(mask_u & (ds_u < 0), -ds_u * inv_su, 0.0),
+                    axis=(1, 2)))
+        a_p = (frac / jnp.maximum(rate_p, frac))[:, None, None]
         a_d = jnp.minimum(alpha_max(lam_l, dl_l, mask_l, frac),
                           alpha_max(lam_u, dl_u, mask_u, frac))[:, None, None]
 
