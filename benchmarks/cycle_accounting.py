@@ -76,10 +76,15 @@ def record() -> dict:
     r_diag = tuple(CFG.mpc.alpha)
 
     # --- 1. time vs iterations ---
+    # chain_for: amortize the tunneled-dispatch floor below ~3% so the
+    # slope/intercept fit prices DEVICE time, not tunnel round-trips
+    # (with chain 16 the floor added ~1.6 ms to the intercept)
+    from benchmarks.roofline import chain_for
     iter_rows = []
     for it in (7, 14, 28):
         scfg = dataclasses.replace(CFG.solver, iterations=it)
-        dt = _time_solver(sqp, scfg, q_diag, r_diag)
+        dt = _time_solver(sqp, scfg, q_diag, r_diag,
+                          chain_len=chain_for(base_batch))
         iter_rows.append(dict(iterations=it, seconds_per_solve=dt,
                               solves_per_s=base_batch / dt))
     its = np.array([r["iterations"] for r in iter_rows], float)
@@ -90,8 +95,9 @@ def record() -> dict:
     batch_rows = []
     for batch in (1024, 4096, 16384, 65536):
         s, _ = nominal_problem(batch)
-        dt = _time_solver(s, CFG.solver, q_diag, r_diag)
-        batch_rows.append(dict(batch=batch,
+        cl = chain_for(batch)
+        dt = _time_solver(s, CFG.solver, q_diag, r_diag, chain_len=cl)
+        batch_rows.append(dict(batch=batch, chain_len=cl,
                                solves_per_s=batch / dt))
 
     # --- 3. op-mix pricing at measured throughputs ---

@@ -152,12 +152,36 @@ def render(doc: dict, weak: dict | None, src_name: str,
         a("NOT RECORDED (run `JAX_PLATFORMS=cpu python -m "
           "benchmarks.weak_scaling`).")
     else:
-        a("| devices | global batch | time/step (s) | efficiency t(1)/t(n) |")
-        a("|---|---|---|---|")
-        for row in weak["rows"]:
-            a(f"| {row['devices']} | {row['batch']} | {row['time_s']} "
-              f"| {row['weak_scaling_efficiency']} |")
+        has_coll = any("collectives" in r for r in weak["rows"])
+        if has_coll:
+            a("| devices | global batch | time/step (s) | efficiency "
+              "t(1)/t(n) | collective ops | collective payload (B/step) |")
+            a("|---|---|---|---|---|---|")
+            for row in weak["rows"]:
+                c = row.get("collectives", {})
+                ops = ", ".join(f"{k}×{v}" for k, v in
+                                sorted(c.get("ops", {}).items())) or "none"
+                a(f"| {row['devices']} | {row['batch']} | {row['time_s']} "
+                  f"| {row['weak_scaling_efficiency']} | {ops} "
+                  f"| {c.get('payload_bytes_per_step', 0)} |")
+        else:
+            a("| devices | global batch | time/step (s) | "
+              "efficiency t(1)/t(n) |")
+            a("|---|---|---|---|")
+            for row in weak["rows"]:
+                a(f"| {row['devices']} | {row['batch']} | {row['time_s']} "
+                  f"| {row['weak_scaling_efficiency']} |")
         a("")
+        if "predicted_ici_time_s" in weak:
+            a(f"Compiled-HLO collective accounting (the quantitative "
+              f"claim; the virtual-device timing curve is host-core "
+              f"contention): worst-case cross-device payload "
+              f"**{weak['collective_payload_bytes_max']} B/step** — "
+              f"**{weak['predicted_ici_time_s']*1e9:.1f} ns** on one v5e "
+              f"ICI link (4.5e10 B/s) against a multi-ms compute step, so "
+              f"real-hardware weak scaling is compute-bound by "
+              f"construction.")
+            a("")
         a(f"_{weak.get('note', '')}_  Sharded pallas-interpret rollout "
           f"(2 periods, 8 devices): "
           f"{'ok' if weak.get('sharded_pallas_interpret_2periods_ok') else 'FAILED'}.")
@@ -242,6 +266,28 @@ def render(doc: dict, weak: dict | None, src_name: str,
           f"float32.  Production closed-loop rollouts keep polish OFF "
           f"(the interior smoothing is part of the adjudicated walking "
           f"behavior, below).")
+        a("")
+
+    sg = _part("standing_sag.json")
+    if sg:
+        a("## Standing-sag adjudication (reference's own solver in the "
+          "loop)")
+        a("")
+        a("| solver arm | settled mean height (m) |")
+        a("|---|---|")
+        for arm in sg["arms"]:
+            a(f"| {arm['solver']} | {arm['mean_height_tail']:.4f} |")
+        a("")
+        d = sg.get("production_vs_oracle_m")
+        if d is not None:
+            a(f"Command height {sg['command_height']} m; every arm sags "
+              f"~{sg['sag_production_m']*100:.1f} cm below it, and the "
+              f"production solver settles within "
+              f"**{abs(d)*1e3:.2f} mm** of the reference's actual qpOASES "
+              f"in the same loop — the sub-target equilibrium is MEASURED "
+              f"reference parity (the 9 kg mass quirk under-compensates "
+              f"gravity, ConvexMPCLocomotion.cpp mass constant), not a "
+              f"solver artifact (benchmarks/standing_sag.py).")
         a("")
 
     c5k = _part("config5_256k.json")

@@ -64,6 +64,26 @@ def nominal_problem(batch: int):
     return sqp._replace(x0=sqp.x0 + dx), CFG
 
 
+def chain_for(batch: int, target_solves: int = 12_000_000,
+              lo: int = 16, hi: int = 4096) -> int:
+    """Dependency-chain length that amortizes the tunnel dispatch floor
+    into the noise for this batch size.
+
+    With chain_len=16 the ~25 ms tunneled-dispatch floor contributes
+    25ms/16/batch per solve -- at batch 4096 that is ~390 ns against a
+    ~440 ns device-side solve, i.e. the r4 occupancy curve was half
+    dispatch-floor artifact.  Chaining enough solves that
+    chain_len*batch ~ ``target_solves`` (~1-2 s of device work) drops the
+    floor share below ~3% at every batch (even on a degraded ~200 ms
+    tunnel: 12M solves ~ 5 s of device work), measuring the DEVICE-side
+    throughput -- the same amortization a serving deployment gets from K
+    device-resident periods per dispatch (benchmarks/latency.py)."""
+    n = lo
+    while n < hi and n * batch < target_solves:
+        n *= 2
+    return n
+
+
 def time_chained_solver(sqp, solver, chain_len: int = 16,
                         reps: int = 3) -> float:
     """Median seconds per batched solve under the bench.py discipline:
@@ -96,11 +116,13 @@ def time_chained_solver(sqp, solver, chain_len: int = 16,
     return statistics.median(times) / chain_len
 
 
-def main(batch: int = 4096, chain_len: int = 16):
+def main(batch: int = 4096, chain_len: int | None = None):
     from benchmarks._cache import enable_cache
     enable_cache()
     from hector.qp import pallas_riccati, riccati
     sqp, CFG = nominal_problem(batch)
+    if chain_len is None:
+        chain_len = chain_for(batch)
 
     on_tpu = jax.default_backend() != "cpu"
     if on_tpu:
@@ -126,6 +148,7 @@ def main(batch: int = 4096, chain_len: int = 16):
     else:
         rep = roofline_report(solves_per_s, iterations=CFG.solver.iterations)
     rep.update(batch=batch, backend=jax.default_backend(),
+               chain_len=chain_len,
                solver="pallas_riccati" if on_tpu else "riccati(jax)")
     print(json.dumps(rep), flush=True)
 

@@ -16,6 +16,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
@@ -31,8 +33,6 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from hector import parallel as PL
-
-pytestmark = pytest.mark.slow
 
 pid = int(sys.argv[1])
 mesh = PL.multihost(coordinator=f"127.0.0.1:{sys.argv[2]}",
