@@ -52,7 +52,14 @@ def main():
     # recorded in perf/parts/config5.json and the latency-constrained
     # operating points in perf/parts/latency.json.
     batch = 32768
-    chain_len = 8
+    # chain 128 keeps the tunneled-dispatch floor below ~5% of the
+    # measurement even on a degraded (~200 ms) tunnel session: the floor
+    # has been observed anywhere from ~25 ms to ~215 ms between sessions
+    # (perf/parts/latency.json dispatch_overhead_spread_ms), and at
+    # chain 8 a 137 ms floor adds ~520 ns to a ~650 ns device solve.
+    # Compile time is scan-length independent; one dispatch is ~2-3 s of
+    # device work, the same amortization serving mode uses.
+    chain_len = 128
     n_devices = jax.local_device_count()
 
     plant = srb.init_plant_state(CFG)
